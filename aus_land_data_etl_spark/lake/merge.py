@@ -1,0 +1,127 @@
+"""Copy-on-write CDC MERGE with LWW resolution and tombstones.
+
+The Spark-first restatement of the reference's apply-changes path
+(``DISTINCT ON ... ORDER BY last_update DESC`` over staging rows with
+``change_type`` metadata — /root/reference/sql/nsw_spatial/tasks/
+dedup_lot_layer.sql:16-35, sql/nsw_spatial/schema/002_APPLY_staging.sql:14-21):
+
+1. LWW-dedupe the incoming batch per key (two-level salted aggregate —
+   operators.dedup.lww_latest) so each key contributes exactly one
+   candidate row.
+2. Bucket-prune: only buckets whose keys appear in the batch are read and
+   rewritten (bounded write amplification; Iceberg ``MERGE INTO`` with
+   bucket partitioning does the same on a real cluster).
+3. Resolve target-vs-source per key by the total order
+   (version, tiebreak): the MERGE guard ``src.version >= tgt.version``.
+   Deletes become *tombstones* (is_deleted = true, payload nulled) so a
+   late update older than a processed delete cannot resurrect the row
+   (SURVEY.md §7.4.4); tombstones are dropped at compaction, not at apply.
+4. Commit atomically with the epoch manifest; replaying a committed epoch
+   is a no-op (exactly-once).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aus_land_data_etl_spark.lake.table import BUCKET_COL, LakeTable, bucket_expr
+from aus_land_data_etl_spark.operators.dedup import lww_latest
+
+#: Internal columns the merge maintains on the target table.
+DELETED_COL = "is_deleted"
+OP_COL = "op"
+
+
+def merge_into(
+    table: LakeTable,
+    batch: DataFrame,
+    tiebreak_col: str,
+    epoch_id: str | None = None,
+    manifest_rows: list[dict[str, Any]] | None = None,
+    n_salts: int = 0,
+) -> int:
+    """Apply a CDC batch (op ∈ insert/update/delete) to the table.
+
+    ``batch`` must carry the table's key and version columns, ``op``, the
+    tiebreak column, and any payload columns.  Payload columns absent from
+    the current table schema trigger schema evolution (added as nullable).
+    Returns the committed snapshot version.
+    """
+    snap = table.snapshot()
+    if epoch_id is not None and epoch_id in snap.committed_epochs:
+        return snap.version  # idempotent replay: already applied
+    key, ver = snap.key_col, snap.version_col
+
+    # 1. one winner per key in the batch (map-side combine + optional salt)
+    winners = lww_latest(
+        batch,
+        key,
+        version_cols=[ver, tiebreak_col],
+        n_salts=n_salts,
+        salt_source=tiebreak_col if n_salts else None,
+    )
+    winners = winners.withColumn(
+        DELETED_COL, F.coalesce(F.col(OP_COL) == "delete", F.lit(False))
+    ).drop(OP_COL)
+
+    # 2. bucket pruning — collect only the (≤ n_buckets) touched bucket ids
+    winners = winners.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
+    touched = [
+        r[0] for r in winners.select(BUCKET_COL).distinct().collect()
+    ]
+    current = table.read(buckets=touched)
+    if DELETED_COL not in current.columns:
+        current = current.withColumn(DELETED_COL, F.lit(False))
+    current = current.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
+
+    # 3. schema evolution: union target ∪ source on the superset schema,
+    # then LWW-resolve per key.  Missing columns (either side) become NULL.
+    merged_all = current.unionByName(winners, allowMissingColumns=True)
+    # Null the payload of tombstone rows so deletes don't carry stale data.
+    payload_cols = [
+        c
+        for c in merged_all.columns
+        if c not in (key, ver, tiebreak_col, DELETED_COL, BUCKET_COL)
+    ]
+    merged_all = merged_all.select(
+        key,
+        ver,
+        tiebreak_col,
+        DELETED_COL,
+        BUCKET_COL,
+        *[
+            F.when(F.col(DELETED_COL), F.lit(None)).otherwise(F.col(c)).alias(c)
+            for c in payload_cols
+        ],
+    )
+    resolved = lww_latest(merged_all, key, version_cols=[ver, tiebreak_col])
+
+    # 4. atomic commit of the touched buckets + manifest + epoch guard
+    new_schema = resolved.drop(BUCKET_COL).schema
+    return table.commit_buckets(
+        resolved,
+        touched_buckets=touched,
+        schema=new_schema,
+        manifest_rows=manifest_rows,
+        epoch_id=epoch_id,
+    )
+
+
+def read_current(table: LakeTable) -> DataFrame:
+    """The live view: tombstones filtered out."""
+    df = table.read()
+    if DELETED_COL in df.columns:
+        df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+    return df
+
+
+def compact(table: LakeTable, drop_tombstones: bool = True) -> int:
+    """Full rewrite dropping tombstones (REINDEX / rewrite_data_files analog,
+    /root/reference/lib/tasks/nsw_vg/ingest_deduplicate.py:100-106)."""
+    df = table.read()
+    if drop_tombstones and DELETED_COL in df.columns:
+        df = df.filter(~F.col(DELETED_COL))
+    return table.overwrite(df)

@@ -1,0 +1,310 @@
+"""LakeTable — a minimal ACID table format on parquet.
+
+Layout::
+
+    <root>/
+      _snapshots/v00000001.json   # immutable snapshot descriptors
+      _snapshots/_VERSION         # atomic pointer to current version
+      data/s00000001/_bucket=N/*.parquet
+
+A snapshot descriptor records: table schema (json), bucket count, key /
+version columns, the file list per bucket, the accumulated per-epoch
+lineage manifests, and the set of committed epoch ids (the exactly-once
+guard).  Commit = write descriptor with O_EXCL then atomically swap the
+``_VERSION`` pointer — the same optimistic single-pointer protocol Iceberg
+uses (metadata.json + version-hint).
+
+Scale note (10^10 events / 1000 executors): the JSON descriptor holds
+bucket→file lists and manifests inline; at production scale those become
+parquet manifest files referenced by path (exactly Iceberg's manifest
+lists) — the commit protocol and pruning logic are unchanged.  Bucket
+count scales with the cluster (buckets ≙ Iceberg ``bucket(N, url)``
+partition transform), giving MERGE a bounded rewrite set and joins a
+co-partitioned layout.
+
+Reference parity: hash partitioning by entity key mirrors the reference's
+``PARTITION BY HASH (property_id)`` with 16 partitions
+(/root/reference/sql/nsw_vg/schema/002_APPLY_create_raw.sql:48,
+lib/tasks/schema/partition.py:26-85); the epoch guard mirrors its
+``ON CONFLICT DO NOTHING`` idempotent re-run contract
+(lib/pipeline/nsw_vg/property_sales/ingestion/ingestion.py:11-20).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# NOTE: no leading underscore — Hadoop listing treats `_…` path elements as
+# hidden, which would make `bucket=N` partition dirs invisible to the reader.
+BUCKET_COL = "bucket_id"
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Deterministic bucket id for a key: pmod(xxhash64(key), n)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: str
+    n_buckets: int
+    key_col: str
+    version_col: str
+    bucket_files: dict[str, list[str]]  # bucket id (str) -> relative file paths
+    manifests: list[dict[str, Any]] = field(default_factory=list)
+    committed_epochs: list[str] = field(default_factory=list)
+    properties: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        return Snapshot(**json.loads(s))
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+
+class LakeTable:
+    """Handle to a snapshot-committed bucketed parquet table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- paths ------------------------------------------------------------
+    @property
+    def _snap_dir(self) -> str:
+        return os.path.join(self.root, "_snapshots")
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self._snap_dir, f"v{version:08d}.json")
+
+    @property
+    def _version_ptr(self) -> str:
+        return os.path.join(self._snap_dir, "_VERSION")
+
+    # -- lifecycle ---------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_col: str,
+        version_col: str,
+        n_buckets: int = 32,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        os.makedirs(t._snap_dir, exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schema_json=json.dumps(schema.jsonValue()),
+            n_buckets=n_buckets,
+            key_col=key_col,
+            version_col=version_col,
+            bucket_files={},
+            properties=properties or {},
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "_snapshots", "_VERSION"))
+
+    def current_version(self) -> int:
+        with open(self._version_ptr) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(self._snap_path(v)) as f:
+            return Snapshot.from_json(f.read())
+
+    # -- read --------------------------------------------------------------
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot, optionally bucket-pruned.
+
+        The snapshot's schema is imposed on the scan so files written before
+        a schema-evolution step surface the added columns as NULL (the
+        parquet-reader analog of Iceberg's schema-id resolution).
+        """
+        snap = self.snapshot(version)
+        files: list[str] = []
+        for b, fs in snap.bucket_files.items():
+            if buckets is None or int(b) in buckets:
+                files.extend(os.path.join(self.root, f) for f in fs)
+        if not files:
+            return self.spark.createDataFrame([], snap.schema)
+        return self.spark.read.schema(snap.schema).parquet(*files)
+
+    # -- write -------------------------------------------------------------
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        path = self._snap_path(snap.version)
+        # O_EXCL: concurrent committers race on the version file, loser
+        # retries on a fresh snapshot (optimistic concurrency, Iceberg-style).
+        with open(path, "x") as f:
+            f.write(snap.to_json())
+        fd, tmp = tempfile.mkstemp(dir=self._snap_dir)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(snap.version))
+        os.rename(tmp, self._version_ptr)  # atomic pointer swap
+
+    def _write_bucket_data(self, df: DataFrame, snapshot_version: int) -> dict[str, list[str]]:
+        """Write df (must carry BUCKET_COL) partitioned by bucket; return
+        the relative file list per bucket."""
+        rel_dir = os.path.join("data", f"s{snapshot_version:08d}")
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            df.write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        bucket_files: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(out_dir)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = str(int(entry.split("=", 1)[1]))
+            bdir = os.path.join(out_dir, entry)
+            bucket_files[b] = sorted(
+                os.path.join(rel_dir, entry, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            )
+        return bucket_files
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Full rewrite of table content (bootstrap / backfill path)."""
+        snap = self.snapshot()
+        new_version = snap.version + 1
+        with_bucket = df.withColumn(BUCKET_COL, bucket_expr(snap.key_col, snap.n_buckets))
+        bucket_files = self._write_bucket_data(with_bucket, new_version)
+        new_snap = Snapshot(
+            version=new_version,
+            schema_json=json.dumps(df.schema.jsonValue()),
+            n_buckets=snap.n_buckets,
+            key_col=snap.key_col,
+            version_col=snap.version_col,
+            bucket_files=bucket_files,
+            manifests=snap.manifests,
+            committed_epochs=snap.committed_epochs,
+            properties=snap.properties,
+        )
+        self._write_snapshot(new_snap)
+        return new_version
+
+    def commit_buckets(
+        self,
+        replaced: dict[int, DataFrame] | DataFrame,
+        touched_buckets: list[int],
+        schema: T.StructType | None = None,
+        manifest_rows: list[dict[str, Any]] | None = None,
+        epoch_id: str | None = None,
+    ) -> int:
+        """Copy-on-write commit: replace data for ``touched_buckets`` only.
+
+        ``replaced`` is one DataFrame carrying BUCKET_COL covering exactly
+        the touched buckets.  Untouched buckets keep their existing files —
+        this is what bounds MERGE write amplification at scale (SURVEY §7.4.7).
+        """
+        snap = self.snapshot()
+        if epoch_id is not None and epoch_id in snap.committed_epochs:
+            return snap.version  # exactly-once: batch already applied
+        new_version = snap.version + 1
+        assert isinstance(replaced, DataFrame)
+        new_files = self._write_bucket_data(replaced, new_version)
+        bucket_files = dict(snap.bucket_files)
+        for b in touched_buckets:
+            bucket_files.pop(str(b), None)
+        # A touched bucket that ends up empty (all rows deleted) simply has
+        # no files in the new snapshot.
+        bucket_files.update(new_files)
+        new_snap = Snapshot(
+            version=new_version,
+            schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key_col=snap.key_col,
+            version_col=snap.version_col,
+            bucket_files=bucket_files,
+            manifests=snap.manifests + (manifest_rows or []),
+            committed_epochs=snap.committed_epochs + ([epoch_id] if epoch_id else []),
+            properties=snap.properties,
+        )
+        self._write_snapshot(new_snap)
+        return new_version
+
+    # -- maintenance --------------------------------------------------------
+    def manifest_df(self) -> DataFrame:
+        """Lineage manifests as a DataFrame (epoch, partition, offsets, counts,
+        checksum) — the queryable audit trail the north rule requires."""
+        snap = self.snapshot()
+        schema = T.StructType(
+            [
+                T.StructField("epoch", T.LongType()),
+                T.StructField("source_partition", T.IntegerType()),
+                T.StructField("start_offset", T.LongType()),
+                T.StructField("end_offset", T.LongType()),
+                T.StructField("row_count", T.LongType()),
+                T.StructField("checksum", T.StringType()),
+            ]
+        )
+        rows = [
+            (
+                int(m["epoch"]),
+                int(m["source_partition"]),
+                int(m["start_offset"]),
+                int(m["end_offset"]),
+                int(m["row_count"]),
+                str(m["checksum"]),
+            )
+            for m in snap.manifests
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def expire_snapshots(self, keep_last: int = 2) -> None:
+        """Drop snapshot descriptors and data dirs no current snapshot
+        references (the REINDEX/compaction analog; Iceberg expire_snapshots)."""
+        current = self.current_version()
+        keep = set(range(max(0, current - keep_last + 1), current + 1))
+        live_files: set[str] = set()
+        for v in keep:
+            try:
+                s = self.snapshot(v)
+            except FileNotFoundError:
+                continue
+            for fs in s.bucket_files.values():
+                live_files.update(fs)
+        data_dir = os.path.join(self.root, "data")
+        if os.path.isdir(data_dir):
+            for sdir in os.listdir(data_dir):
+                full = os.path.join(data_dir, sdir)
+                rels = {
+                    os.path.join("data", sdir, e, f)
+                    for e in os.listdir(full)
+                    if e.startswith(BUCKET_COL)
+                    for f in os.listdir(os.path.join(full, e))
+                }
+                if rels and not (rels & live_files):
+                    import shutil
+
+                    shutil.rmtree(full)
+        for f in os.listdir(self._snap_dir):
+            if f.startswith("v") and int(f[1:9]) not in keep:
+                os.remove(os.path.join(self._snap_dir, f))

@@ -1,0 +1,178 @@
+"""CDC apply: convergence, replay equivalence, exactly-once, evolution.
+
+The Spark analog of the reference's differential/snapshot test strategy
+(SURVEY.md §5): the same event log applied under different batchings,
+orderings and replays must converge to an identical final table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table, prepare_batch
+from aus_land_data_etl_spark.cdc.generator import generate_events
+from aus_land_data_etl_spark.lake.merge import read_current
+from aus_land_data_etl_spark.operators.dedup import lww_latest
+
+N_EVENTS = 3000
+
+
+@pytest.fixture(scope="module")
+def events(spark) -> DataFrame:
+    return generate_events(spark, N_EVENTS, seed=42, n_source_partitions=4).cache()
+
+
+def expected_final(events: DataFrame) -> DataFrame:
+    """Oracle: direct one-shot LWW over the whole log (no engine)."""
+    prep = prepare_batch(events)
+    win = lww_latest(prep, "url", version_cols=["warc_ts", "event_id"])
+    return win.filter(F.col("op") != "delete").select(
+        "url", "warc_ts", "event_id", "text", "lang", "fetch_status"
+    )
+
+
+def state_fingerprint(df: DataFrame) -> int:
+    cols = ["url", "warc_ts", "event_id", "text", "lang", "fetch_status"]
+    row = (
+        df.select(
+            F.bit_xor(
+                F.xxhash64(*[F.col(c).cast("string") for c in cols])
+            ).alias("h"),
+            F.count("*").alias("n"),
+        )
+    ).collect()[0]
+    return (row["h"] or 0, row["n"])
+
+
+def split_batches(events: DataFrame, n: int) -> list[DataFrame]:
+    return [
+        events.filter(F.pmod(F.xxhash64("event_id"), F.lit(n)) == i) for i in range(n)
+    ]
+
+
+def test_generator_deterministic(spark):
+    a = generate_events(spark, 500, seed=7)
+    b = generate_events(spark, 500, seed=7)
+    c = generate_events(spark, 500, seed=8)
+    ha = a.select(F.bit_xor(F.xxhash64("event_id", "url", "op"))).collect()[0][0]
+    hb = b.select(F.bit_xor(F.xxhash64("event_id", "url", "op"))).collect()[0][0]
+    hc = c.select(F.bit_xor(F.xxhash64("event_id", "url", "op"))).collect()[0][0]
+    assert ha == hb
+    assert ha != hc
+
+
+def test_generator_skew_and_dupes(spark, events):
+    dom = events.withColumn("d", F.regexp_extract("url", r"https://(d\d+)\.", 1))
+    top = dom.groupBy("d").count().orderBy(F.desc("count")).first()
+    assert top["d"] == "d0"
+    assert top["count"] > 0.2 * N_EVENTS  # hot domain holds ~30%
+    n_all = events.count()
+    n_distinct = events.select("event_id").distinct().count()
+    assert n_all > n_distinct  # duplicate delivery present
+
+
+def test_apply_converges_to_oracle(spark, events, tmp_table_dir):
+    table = create_pages_table(spark, tmp_table_dir, n_buckets=8)
+    for i, b in enumerate(split_batches(events, 4)):
+        apply_batch(table, b, epoch=i)
+    got = read_current(table).select(
+        "url", "warc_ts", "event_id", "text", "lang", "fetch_status"
+    )
+    assert state_fingerprint(got) == state_fingerprint(expected_final(events))
+
+
+def test_replay_and_reorder_equivalence(spark, events, tmp_table_dir):
+    import tempfile, shutil
+
+    batches = split_batches(events, 4)
+    fps = []
+    for order, replay in [((0, 1, 2, 3), False), ((3, 1, 0, 2), False), ((0, 1, 2, 3), True)]:
+        d = tempfile.mkdtemp(prefix="replay_")
+        try:
+            table = create_pages_table(spark, d, n_buckets=8)
+            for i in order:
+                apply_batch(table, batches[i], epoch=i)
+                if replay:
+                    apply_batch(table, batches[i], epoch=i)  # duplicate epoch
+            if replay:  # also re-deliver an old epoch at the end
+                apply_batch(table, batches[0], epoch=0)
+            fps.append(
+                state_fingerprint(
+                    read_current(table).select(
+                        "url", "warc_ts", "event_id", "text", "lang", "fetch_status"
+                    )
+                )
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_manifest_lineage(spark, events, tmp_table_dir):
+    table = create_pages_table(spark, tmp_table_dir, n_buckets=8)
+    batches = split_batches(events, 3)
+    for i, b in enumerate(batches):
+        apply_batch(table, b, epoch=i)
+        apply_batch(table, b, epoch=i)  # replay must not duplicate manifests
+    m = table.manifest_df()
+    # unique (epoch, source_partition)
+    assert m.count() == m.select("epoch", "source_partition").distinct().count()
+    # row counts per epoch match the prepared batch sizes
+    sizes = {i: prepare_batch(b).count() for i, b in enumerate(batches)}
+    got = {r["epoch"]: r["n"] for r in m.groupBy("epoch").agg(F.sum("row_count").alias("n")).collect()}
+    assert got == sizes
+
+
+def test_schema_evolution_fetch_status(spark, events, tmp_table_dir):
+    """v4 events promote fetch_status; v1-only prefix has it as NULL."""
+    table = create_pages_table(spark, tmp_table_dir, n_buckets=8)
+    v1 = events.filter(F.col("schema_version") == 1)
+    v4 = events.filter(F.col("schema_version") == 4)
+    apply_batch(table, v1, epoch=0)
+    apply_batch(table, v4, epoch=1)
+    cur = read_current(table)
+    assert "fetch_status" in cur.columns
+    assert cur.filter(F.col("fetch_status").isNotNull()).count() > 0
+    assert cur.filter(F.col("fetch_status").isNull()).count() > 0
+    # v3 rename: language in the JSON side-car surfaces as lang
+    v3 = events.filter(F.col("schema_version") == 3)
+    assert prepare_batch(v3).filter(F.col("lang").isNull() & (F.col("op") != "delete")).count() == 0
+
+
+def test_tombstone_blocks_late_update(spark, tmp_table_dir):
+    """A late update older than a processed delete must not resurrect."""
+    from pyspark.sql import Row
+    import datetime as dt
+
+    table = create_pages_table(spark, tmp_table_dir, n_buckets=2)
+
+    def ev(eid, op, ts, html):
+        return Row(
+            event_id=eid,
+            op=op,
+            url="https://d1.example.com/p/1",
+            warc_ts=dt.datetime(2024, 1, 1, 0, 0, ts),
+            html=html,
+            lang=None,
+            schema_version=1,
+            payload_extra=None,
+            source_partition=0,
+            source_offset=0,
+            source_file="wal/part-0.log",
+            source_pos=0,
+        )
+
+    from aus_land_data_etl_spark.cdc.events import EVENT_SCHEMA
+
+    b1 = spark.createDataFrame([ev("e-del", "delete", 30, None)], EVENT_SCHEMA)
+    b2 = spark.createDataFrame([ev("e-upd", "update", 10, b"<p>old</p>")], EVENT_SCHEMA)
+    apply_batch(table, b1, epoch=0)
+    apply_batch(table, b2, epoch=1)  # arrives later, but ts is older
+    assert read_current(table).count() == 0
+    # and a *newer* update does resurrect
+    b3 = spark.createDataFrame([ev("e-new", "update", 50, b"<p>new</p>")], EVENT_SCHEMA)
+    apply_batch(table, b3, epoch=2)
+    cur = read_current(table).collect()
+    assert len(cur) == 1 and cur[0]["text"] == "new"
