@@ -1,0 +1,99 @@
+"""Structured Streaming runner: file-source WAL tail → foreachBatch MERGE.
+
+The streaming restatement of the reference's coordinator/child ingestion
+loop (/root/reference/lib/pipeline/nsw_vg/property_sales/orchestration/
+coordinator.py:93-139 — file queue, checkpoint-file dedup, graceful
+drain):
+
+- **source**: a parquet file source over the WAL directory.  Spark's file
+  source tracks seen files in the checkpoint — the exactly-once analog of
+  the reference's unique-``file_path`` skip
+  (sql/nsw_vg/schema/003_APPLY_create_raw.sql:11,54).
+- **backpressure**: ``maxFilesPerTrigger`` bounds each micro-batch (the
+  reference's bounded queues, T5).
+- **apply**: ``foreachBatch`` → ``cdc.apply.apply_batch`` with the Spark
+  epoch id as the exactly-once key, so a batch re-delivered after a
+  checkpoint-recovery restart is a no-op in the table commit even though
+  the sink function ran again (the documented foreachBatch at-least-once
+  contract + idempotent sink = exactly-once end-to-end).
+- **drain**: ``trigger(availableNow=True)`` processes the backlog then
+  stops (the reference's RequestClose graceful drain, T8).
+- **metrics**: ``observe()`` counters per batch surfaced through a
+  StreamingQueryListener analog (collected from the progress events).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aus_land_data_etl_spark.cdc.apply import apply_batch
+from aus_land_data_etl_spark.cdc.events import EVENT_SCHEMA
+from aus_land_data_etl_spark.cdc.registry import SchemaRegistry
+from aus_land_data_etl_spark.lake.table import LakeTable
+
+
+def write_event_log(
+    events: DataFrame, wal_dir: str, n_files: int = 8, order_col: str = "source_pos"
+) -> None:
+    """Materialise an event DataFrame as a WAL directory of parquet files.
+
+    Range-partitioned by the WAL position so each file is a contiguous
+    chunk of the log — what a binlog shipper would produce.
+    """
+    (
+        events.repartitionByRange(n_files, F.col(order_col))
+        .write.mode("append")
+        .parquet(wal_dir)
+    )
+
+
+@dataclass
+class StreamResult:
+    batches: int
+    rows: int
+    final_version: int
+
+
+def run_stream(
+    spark: SparkSession,
+    table: LakeTable,
+    wal_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
+    n_salts: int = 8,
+    available_now: bool = True,
+) -> StreamResult:
+    """Tail the WAL directory into the table; drain and return stats."""
+    registry = SchemaRegistry()
+    counters = {"batches": 0, "rows": 0}
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        counters["batches"] += 1
+        counters["rows"] += batch_df.count()
+        apply_batch(table, batch_df, epoch=epoch_id, registry=registry, n_salts=n_salts)
+
+    reader = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(wal_dir)
+    )
+    writer = (
+        reader.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        if available_now
+        else reader.writeStream.foreachBatch(_apply).option(
+            "checkpointLocation", checkpoint_dir
+        )
+    )
+    q = writer.start()
+    q.awaitTermination()
+    return StreamResult(
+        batches=counters["batches"],
+        rows=counters["rows"],
+        final_version=table.current_version(),
+    )
