@@ -104,15 +104,21 @@ def apply_batch(
     snap = table.snapshot()
     if epoch_id in snap.committed_epochs:
         return snap.version  # replayed batch: no-op (exactly-once)
-    batch = prepare_batch(events, registry)
-    manifest = compute_manifest(batch)
-    for m in manifest:
-        m["epoch"] = int(epoch) if str(epoch).isdigit() else -1
-    return merge_into(
-        table,
-        batch.drop("source_partition", "source_offset"),
-        tiebreak_col="event_id",
-        epoch_id=epoch_id,
-        manifest_rows=manifest,
-        n_salts=n_salts,
-    )
+    # Persist the prepared batch: the extraction UDF is the expensive stage
+    # and three consumers follow (manifest agg, touched-bucket probe, the
+    # merge write) — without this it would run 3×.
+    batch = prepare_batch(events, registry).persist()
+    try:
+        manifest = compute_manifest(batch)
+        for m in manifest:
+            m["epoch"] = int(epoch) if str(epoch).isdigit() else -1
+        return merge_into(
+            table,
+            batch.drop("source_partition", "source_offset"),
+            tiebreak_col="event_id",
+            epoch_id=epoch_id,
+            manifest_rows=manifest,
+            n_salts=n_salts,
+        )
+    finally:
+        batch.unpersist()

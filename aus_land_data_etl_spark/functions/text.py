@@ -133,14 +133,15 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+#: BPE-ish segmentation: word runs OR single non-space symbols.  RE2-safe
+#: (no lookaround) so the DuckDB oracle can use the identical pattern.
+TOKEN_PATTERN = r"[\p{L}\p{N}]+|[^\p{L}\p{N}\s]"
+
+
 def token_count(text: Column | str) -> Column:
-    """Whitespace+punctuation token count (BPE-ish regex segmentation)."""
+    """Token count under BPE-ish segmentation (word runs + symbols)."""
     t = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
-    toks = F.filter(
-        F.split(t, r"(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"),
-        lambda x: F.trim(x) != "",
-    )
-    return F.size(toks)
+    return F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), F.lit(0))).cast("long")
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:

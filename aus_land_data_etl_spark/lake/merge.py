@@ -67,8 +67,10 @@ def merge_into(
         DELETED_COL, F.coalesce(F.col(OP_COL) == "delete", F.lit(False))
     ).drop(OP_COL)
 
-    # 2. bucket pruning — collect only the (≤ n_buckets) touched bucket ids
-    winners = winners.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
+    # 2. bucket pruning — collect only the (≤ n_buckets) touched bucket ids.
+    # winners is consumed twice (bucket probe + merge write): persist the
+    # post-LWW rows, which are at most one per key in the batch.
+    winners = winners.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets)).persist()
     touched = [
         r[0] for r in winners.select(BUCKET_COL).distinct().collect()
     ]
@@ -101,13 +103,16 @@ def merge_into(
 
     # 4. atomic commit of the touched buckets + manifest + epoch guard
     new_schema = resolved.drop(BUCKET_COL).schema
-    return table.commit_buckets(
-        resolved,
-        touched_buckets=touched,
-        schema=new_schema,
-        manifest_rows=manifest_rows,
-        epoch_id=epoch_id,
-    )
+    try:
+        return table.commit_buckets(
+            resolved,
+            touched_buckets=touched,
+            schema=new_schema,
+            manifest_rows=manifest_rows,
+            epoch_id=epoch_id,
+        )
+    finally:
+        winners.unpersist()
 
 
 def read_current(table: LakeTable) -> DataFrame:

@@ -1,0 +1,273 @@
+"""Large-scale document deduplication operators.
+
+Beyond the reference's key-based dedup (SURVEY.md §2.6), a web-scale
+training-data pipeline needs content dedup:
+
+- exact           : hash-groupBy on normalised text
+- minhash + LSH   : shingle → k minhashes → banded bucket-join
+- simhash         : 64-bit sketch + hamming-distance candidate filter
+- n-gram jaccard  : exact set similarity, evaluated only on LSH candidates
+- embedding cosine: near-dup via ANN (see operators.similarity)
+
+Design for scale: sketches are computed by **exploding shingles into rows
+and aggregating** (``groupBy(doc).agg(min(hash) …)``) rather than
+evaluating per-row array lambdas — the aggregate path is whole-stage
+codegen'd with map-side partial combine, an order of magnitude faster
+than interpreted higher-order functions, and it streams (no giant array
+per row in memory).  Candidate generation is always a shuffle-bounded
+equi-join (never an O(n²) cross join); exact Jaccard verification runs at
+shingle-row granularity only for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aus_land_data_etl_spark.functions.text import char_ngrams
+
+
+def normalise_text(text: Column | str) -> Column:
+    """Canonical form for exact dedup: lower, collapse whitespace, strip."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(t, F.lit(""))), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: one row per duplicated normalised text with the
+    keeper (min id) and the member list.  Hash-groupBy — one shuffle on the
+    digest, map-side combine applies."""
+    norm = normalise_text(text_col)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_members"),
+            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(doc_id, shingle) rows — distinct character n-grams per document.
+
+    Documents shorter than ``n`` characters produce no rows (they cannot
+    be shingle-near-duplicates of anything).
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("sh"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, k: int = 32, seed: int = 42
+) -> DataFrame:
+    """k-permutation MinHash per doc, as k min-aggregates over shingle rows.
+
+    Each "permutation" is xxhash64 salted with (seed, i) (Broder '97 style
+    min-wise hashing).  One shuffle on doc_id; partial min computed
+    map-side, so a hot document's shingles reduce before the exchange.
+    Output: (doc_id, sig array<long> of length k).
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.lit(i), F.col("sh"))).alias(f"m{i}")
+        for i in range(k)
+    ]
+    sigs = shingles.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH on MinHash signatures.
+
+    Rows with any identical band (r = k/n_bands contiguous signature
+    elements) become a candidate pair: explode bands → self-join on
+    (band, band_hash) → distinct (id_a < id_b) pairs.
+    """
+    r = k // n_bands
+    sigs = minhash_signatures(shingle_rows(df, id_col, text_col, shingle_n), k, seed)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs, at shingle-row granularity.
+
+    |A∩B| comes from a shingle-level equi-join restricted to candidate
+    ids; |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts.  No arrays are
+    materialised, so a pathological 1 MB document costs rows, not memory.
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    involved = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b")))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(involved), "doc_id", "left_semi").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        pairs.join(sha, "id_a")
+        .join(shb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"}), "id_a", "left")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"}), "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (
+                    F.coalesce(F.col("n_a"), F.lit(0))
+                    + F.coalesce(F.col("n_b"), F.lit(0))
+                    - F.coalesce(F.col("n_inter"), F.lit(0))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, k=k, n_bands=n_bands, shingle_n=shingle_n
+    )
+    return ngram_jaccard(df, cands, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_sketches(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 4
+) -> DataFrame:
+    """64-bit SimHash per doc via explode + 64 signed-bit-sum aggregates.
+
+    For each bit position: sum ±1 over shingle hashes, sign → bit.  All
+    64 sums run in one codegen'd aggregate with map-side combine.
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
+    sums = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = sh.groupBy("doc_id").agg(*sums)
+    bit_terms = [
+        F.when(F.col(f"b{b}") > 0, F.lit(1 << b if b < 63 else -(2**63)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        for b in range(64)
+    ]
+    sketch = bit_terms[0]
+    for t in bit_terms[1:]:
+        sketch = sketch.bitwiseOR(t)
+    return agg.select("doc_id", sketch.alias("sh64"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 4,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates by the block-permutation trick.
+
+    Split each 64-bit simhash into ``n_blocks`` blocks; by pigeonhole any
+    pair within hamming distance < n_blocks shares an exact block →
+    equi-join per block, then filter on true hamming distance (bit_count
+    of xor).  Avoids all-pairs comparison (Manku et al., WWW'07 pattern).
+    """
+    width = 64 // n_blocks
+    sk = simhash_sketches(df, id_col, text_col, shingle_n)
+    blocks = sk.select(
+        "doc_id",
+        "sh64",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh64"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh64").bitwiseXOR(F.col("b.sh64"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

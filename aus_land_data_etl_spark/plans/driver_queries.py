@@ -1,0 +1,822 @@
+"""Driver-contract query inventory (SURVEY.md §2 → queries()/oracle_sql()).
+
+Each entry is a named query over the driver's testdata tables with, where
+SQL-expressible, an exactly-matching DuckDB oracle.  Column names are
+aliased identically on both sides; float aggregates are rounded on both
+sides; orderings that feed LIMIT/rank are total (explicit tiebreaks) so
+the comparison is deterministic.
+
+Queries that exercise the *engine itself* (cdc_engine_converge,
+cdc_stream_pipeline) run the real lake/merge/streaming machinery on
+tempdirs and are still oracle-checked where the semantics are
+SQL-expressible (LWW final state is).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aus_land_data_etl_spark.functions.core import code_label
+from aus_land_data_etl_spark.functions.text import (
+    lang_id,
+    quality_score,
+    token_count,
+)
+from aus_land_data_etl_spark.operators.agg import (
+    first_by_order,
+    ordered_string_agg,
+    segment_stats,
+)
+from aus_land_data_etl_spark.operators.dedup import latest_per_key
+from aus_land_data_etl_spark.operators.dedup_ml import (
+    exact_duplicates,
+    minhash_dedup,
+    simhash_candidates,
+)
+from aus_land_data_etl_spark.operators.explode import unnest_parallel_columns
+from aus_land_data_etl_spark.operators.joins import anti_join, exists_flag, null_safe_join
+from aus_land_data_etl_spark.operators.multimodal import extract_media_features
+from aus_land_data_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# CDC engine (the flagship): events table replayed through the real engine
+# ---------------------------------------------------------------------------
+
+
+def events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's ``events`` table onto the CDC envelope:
+    key=user_id, version=(ts, event_id), op: 'error' → delete, else upsert."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("event_type"),
+                F.lit(" value="),
+                F.col("value").cast("string"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(1).alias("schema_version"),
+        F.lit(None).cast("string").alias("payload_extra"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("source_partition"),
+        F.col("event_id").cast("long").alias("source_offset"),
+        F.lit("events.parquet").alias("source_file"),
+        F.col("event_id").cast("long").alias("source_pos"),
+    )
+
+
+def q_cdc_engine_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full batch CDC engine (LWW merge, tombstones, exactly-once)
+    over the events table delivered as 4 micro-batches; return final state."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.merge import read_current
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_q_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        for i in range(4):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            apply_batch(table, batch, epoch=i)
+        out = (
+            read_current(table)
+            .select(
+                F.col("url"),
+                F.col("warc_ts"),
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("text"),
+            )
+            .cache()
+        )
+        out.count()  # materialise before the tempdir vanishes
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_CDC_CONVERGE = """
+WITH ranked AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts,
+         event_id,
+         event_type,
+         value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT url, warc_ts, event_id,
+       event_type || ' value=' || CAST(value AS VARCHAR) AS text
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_cdc_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same convergence through the Structured Streaming shell (WAL file
+    source, checkpointed, availableNow drain)."""
+    from aus_land_data_etl_spark.cdc.apply import create_pages_table
+    from aus_land_data_etl_spark.lake.merge import read_current
+    from aus_land_data_etl_spark.streaming.runner import run_stream, write_event_log
+
+    changes = events_as_changes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_s_")
+    try:
+        wal, ckpt, tbl = (os.path.join(root, k) for k in ("wal", "ckpt", "tbl"))
+        write_event_log(changes, wal, n_files=4)
+        table = create_pages_table(spark, tbl, n_buckets=8)
+        run_stream(spark, table, wal, ckpt, max_files_per_trigger=2)
+        out = (
+            read_current(table)
+            .select(
+                F.col("url"),
+                F.col("warc_ts"),
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("text"),
+            )
+            .cache()
+        )
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Window operators (W1–W4)
+# ---------------------------------------------------------------------------
+
+
+def q_w1_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness-ranked canonicalisation (reference W1,
+    005_populate_lrs/001_setup.sql:30-58): rank by non-null payload count
+    then recency; keep canonical rows."""
+    ev = _t(spark, sf_dir, "events")
+    completeness = (
+        F.when(F.col("value").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("props").isNotNull(), 1).otherwise(0)
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        completeness.desc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+ORACLE_W1 = """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY (CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END
+                   + CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) DESC,
+                    ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_w3_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON (customer) latest order (reference W3 pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    return latest_per_key(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+
+
+ORACLE_W3 = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_w4_ntile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE work segmentation + per-segment stats (reference W4/A5)."""
+    orders = _t(spark, sf_dir, "orders")
+    return segment_stats(orders.select("o_orderkey"), "o_orderkey", 8)
+
+
+ORACLE_W4 = """
+SELECT segment, MIN(o_orderkey) AS seg_min, MAX(o_orderkey) AS seg_max,
+       COUNT(*) AS seg_count
+FROM (SELECT o_orderkey, NTILE(8) OVER (ORDER BY o_orderkey) AS segment
+      FROM orders)
+GROUP BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1–A3)
+# ---------------------------------------------------------------------------
+
+
+def q_a2_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered aggregation (reference A2: STRING_AGG ... ORDER BY position;
+    first-by-order via min_by)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # l_linenumber alone is not unique per order in this dataset — extend
+    # the ordering to a total order so both engines agree (SURVEY §7.4.1:
+    # ordered aggregation must sort by a *total* position).
+    pos = F.col("l_linenumber") * 1_000_000 + F.col("l_partkey")
+    first_pos = F.col("l_linenumber") * 1_000_000 + F.col("l_suppkey")
+    return li.groupBy("l_orderkey").agg(
+        ordered_string_agg(pos, F.col("l_partkey").cast("string"), ",").alias(
+            "parts_in_order"
+        ),
+        first_by_order(first_pos, "l_suppkey").alias("first_supp"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_A2 = """
+SELECT l_orderkey,
+       STRING_AGG(CAST(l_partkey AS VARCHAR), ','
+                  ORDER BY l_linenumber * 1000000 + l_partkey) AS parts_in_order,
+       MIN_BY(l_suppkey, l_linenumber * 1000000 + l_suppkey) AS first_supp,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_a1_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-list aggregation (A1), emitted as a joined string so the
+    cross-engine value hash is stable."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|").alias(
+            "priorities"
+        ),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+ORACLE_A1 = """
+SELECT o_custkey,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), '|') AS priorities,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_a3_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT dimension extraction (A3/K2 upsert source)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(F.upper(F.col("p_brand")).alias("brand"), "p_type").distinct()
+
+
+ORACLE_A3 = "SELECT DISTINCT UPPER(p_brand) AS brand, p_type FROM part"
+
+
+# ---------------------------------------------------------------------------
+# Set ops / joins (U1, J1–J5)
+# ---------------------------------------------------------------------------
+
+
+def q_u1_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup union across heterogeneous sources (U1)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
+    )
+    return cust.unionByName(supp).distinct()
+
+
+ORACLE_U1 = """
+SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+UNION
+SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+"""
+
+
+def q_j3_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (J3: NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti_join(cust.select("c_custkey", "c_name"), orders, ["c_custkey"])
+
+
+ORACLE_J3 = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_j4_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join-as-flag (J4: seen_in_* columns)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return exists_flag(
+        cust.select("c_custkey", "c_mktsegment"), orders, ["c_custkey"], "has_order"
+    )
+
+
+ORACLE_J4 = """
+SELECT c_custkey, c_mktsegment,
+       EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
+FROM customer c
+"""
+
+
+def q_j5_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe-key join (J5: NULL <=> NULL matches)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.pmod(F.col("c_nationkey"), F.lit(5)), F.lit(0)).alias("grp")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.pmod(F.col("s_nationkey"), F.lit(5)), F.lit(0)).alias("grp")
+    )
+    joined = null_safe_join(cust, supp, ["grp"], "inner")
+    return joined.groupBy(cust["grp"].alias("grp")).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("c_custkey").alias("n_cust"),
+        F.countDistinct("s_suppkey").alias("n_supp"),
+    )
+
+
+ORACLE_J5 = """
+WITH c AS (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS grp FROM customer),
+     s AS (SELECT s_suppkey, NULLIF(s_nationkey % 5, 0) AS grp FROM supplier)
+SELECT c.grp, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT c_custkey) AS n_cust,
+       COUNT(DISTINCT s_suppkey) AS n_supp
+FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+GROUP BY c.grp
+"""
+
+
+def q_j2_unnest_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-unnest wide→long pivot (J2): zip the three lineitem measures
+    into (idx, measure) rows — the reference's UNNEST(ARRAY[..1..5]) zip."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    out = unnest_parallel_columns(
+        li,
+        groups={
+            "measure": ["l_quantity", "l_extendedprice", "l_discount"],
+        },
+        keep=["l_orderkey", "l_linenumber"],
+        index_col="idx",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "idx", F.round("measure", 4).alias("measure")
+    )
+
+
+ORACLE_J2 = """
+SELECT l_orderkey, l_linenumber, 1 AS idx, ROUND(l_quantity, 4) AS measure
+FROM lineitem WHERE l_orderkey < 500
+UNION ALL
+SELECT l_orderkey, l_linenumber, 2, ROUND(l_extendedprice, 4)
+FROM lineitem WHERE l_orderkey < 500
+UNION ALL
+SELECT l_orderkey, l_linenumber, 3, ROUND(l_discount, 4)
+FROM lineitem WHERE l_orderkey < 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# Analytics joins + aggregation (J1, Q1/Q3/Q5-style)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation (the headline scan+agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query (J1): lineitem⋈orders⋈customer⋈nation⋈region
+    with small dims broadcast — the Q5-style volume report."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_REVENUE_NATION = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with total ordering (O-class: deterministic LIMIT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderkey", "o_orderdate", "revenue")
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_orderdate, revenue FROM (
+  SELECT o_orderkey, o_orderdate,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderdate
+) ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suite (F-class)
+# ---------------------------------------------------------------------------
+
+
+def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar inventory in one projection: CASE mapping (F4), coalesce
+    fallback (F2), upper (F1), concat (F13), date extraction (F6)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        code_label(
+            "event_type",
+            {
+                "click": "Click",
+                "view": "View",
+                "purchase": "Purchase",
+                "signup": "Signup",
+            },
+            default="Other",
+        ).alias("type_label"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)), 4).alias("value_or_zero"),
+        F.upper("event_type").alias("type_u"),
+        F.concat_ws("#", F.col("user_id").cast("string"), F.col("event_type")).alias(
+            "user_tag"
+        ),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.date_format("ts", "yyyyMMdd").alias("compact_date"),
+    )
+
+
+ORACLE_SCALAR = """
+SELECT event_id,
+       CASE event_type WHEN 'click' THEN 'Click' WHEN 'view' THEN 'View'
+            WHEN 'purchase' THEN 'Purchase' WHEN 'signup' THEN 'Signup'
+            ELSE 'Other' END AS type_label,
+       ROUND(COALESCE(value, 0.0), 4) AS value_or_zero,
+       UPPER(event_type) AS type_u,
+       CAST(user_id AS VARCHAR) || '#' || event_type AS user_tag,
+       YEAR(ts) AS y, MONTH(ts) AS m,
+       STRFTIME(ts, '%Y%m%d') AS compact_date
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup / text analysis / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over documents (hash-groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    groups = exact_duplicates(docs, "doc_id", "text")
+    return groups.select(
+        "digest",
+        "keeper_id",
+        "n_members",
+        F.array_join(F.transform("member_ids", lambda x: x.cast("string")), ",").alias(
+            "members"
+        ),
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT digest, MIN(doc_id) AS keeper_id, COUNT(*) AS n_members,
+       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM (SELECT doc_id,
+             MD5(TRIM(REGEXP_REPLACE(LOWER(COALESCE(text, '')), '\\s+', ' ', 'g'))) AS digest
+      FROM documents)
+GROUP BY digest HAVING COUNT(*) > 1
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (whitespace segmentation)."""
+    docs = _t(spark, sf_dir, "documents")
+    simple = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    return docs.select("doc_id", simple.alias("n_tokens"), token_count("text").alias("n_tokens_bpe"))
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id,
+       LEN(LIST_FILTER(STRING_SPLIT_REGEX(COALESCE(text, ''), '\\s+'),
+                       x -> x <> '')) AS n_tokens,
+       LEN(REGEXP_EXTRACT_ALL(COALESCE(text, ''),
+                              '[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language id over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+_MARKER_SQL = {
+    "en": "('the','and','of','to','is','that','with')",
+    "de": "('der','und','die','das','nicht','ist','ein')",
+    "fr": "('le','la','les','des','est','une','dans')",
+    "es": "('el','los','las','una','por','como','para')",
+}
+
+ORACLE_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')), '[^\\p{{L}}]+') AS t
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+         LEN(LIST_FILTER(t, x -> x IN {_MARKER_SQL['en']})) AS s_en,
+         LEN(LIST_FILTER(t, x -> x IN {_MARKER_SQL['de']})) AS s_de,
+         LEN(LIST_FILTER(t, x -> x IN {_MARKER_SQL['fr']})) AS s_fr,
+         LEN(LIST_FILTER(t, x -> x IN {_MARKER_SQL['es']})) AS s_es
+  FROM toks
+), ranked AS (
+  SELECT doc_id, lang, cand, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cand DESC) rn
+  FROM (
+    SELECT doc_id, lang, 'en' AS cand, s_en AS s FROM scores UNION ALL
+    SELECT doc_id, lang, 'de', s_de FROM scores UNION ALL
+    SELECT doc_id, lang, 'fr', s_fr FROM scores UNION ALL
+    SELECT doc_id, lang, 'es', s_es FROM scores
+  )
+)
+SELECT doc_id, lang, CASE WHEN s > 0 THEN cand ELSE 'und' END AS lang_pred
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring over documents (length/alpha/stopword components)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+_STOP_SQL = "('the','and','of','to','a','in','is','that','it','for')"
+
+ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+), parts AS (
+  SELECT doc_id, t,
+         LENGTH(t) AS n_chars,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(t), '\\s+'), x -> LENGTH(x) > 0) AS toks,
+         LENGTH(REGEXP_REPLACE(t, '[^\\p{{L}}]', '', 'g')) AS n_alpha
+  FROM base
+), m AS (
+  SELECT doc_id, n_chars, n_alpha, LEN(toks) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN LEN(toks) > 0 THEN n_chars / CAST(LEN(toks) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN LEN(toks) > 0
+              THEN LEN(LIST_FILTER(toks, x -> x IN {_STOP_SQL})) / CAST(LEN(toks) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio
+  FROM parts
+)
+SELECT doc_id,
+       ROUND(0.25 * LEAST(n_chars / 500.0, 1.0)
+           + 0.35 * alpha_ratio
+           + 0.2 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 1.0 ELSE 0.3 END)
+           + 0.2 * LEAST(stop_ratio * 5.0, 1.0), 6) AS quality
+FROM m
+"""
+
+
+def q_emb_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbours for the first 20 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbour_id", "rank", "cosine_sim"
+    )
+
+
+ORACLE_EMB_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+           FROM embeddings WHERE vec_id < 20),
+     c AS (SELECT vec_id AS neighbour_id, CAST(embedding AS DOUBLE[]) cv
+           FROM embeddings),
+scored AS (
+  SELECT query_id, neighbour_id,
+         ROUND(LIST_COSINE_SIMILARITY(qv, cv), 6) AS cosine_sim
+  FROM q JOIN c ON query_id <> neighbour_id
+), ranked AS (
+  SELECT query_id, neighbour_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbour_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbour_id, rank, cosine_sim FROM ranked WHERE rank <= 5
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: documents' text bytes as opaque media
+    payloads through the mapInPandas feature extractor (decode stubbed)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        F.lit("text").alias("media_type"),
+    )
+    feats = extract_media_features(docs)
+    return feats.select("doc_id", "media_type", "n_bytes", "content_hash")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id, 'text' AS media_type,
+       OCTET_LENGTH(ENCODE(COALESCE(text, ''))) AS n_bytes,
+       SHA256(COALESCE(text, '')) AS content_hash
+FROM documents
+"""
+
+
+# -- approximate ops: rows-only checks (no SQL oracle possible) -------------
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs verified by exact n-gram Jaccard ≥ 0.8."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "doc_id", "text", threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (hamming ≤ 3 via block pigeonhole)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN top-5 via random-hyperplane LSH buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_lsh(emb, queries, dim=64, k=5).select(
+        "query_id", "neighbour_id", "rank", "cosine_sim"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "cdc_engine_converge": q_cdc_engine_converge,
+    "cdc_stream_pipeline": q_cdc_stream_pipeline,
+    "w1_canonical": q_w1_canonical,
+    "w3_latest_order_per_customer": q_w3_latest_order_per_customer,
+    "w4_ntile_segments": q_w4_ntile_segments,
+    "a1_collect_sorted": q_a1_collect_sorted,
+    "a2_ordered_agg": q_a2_ordered_agg,
+    "a3_distinct_dims": q_a3_distinct_dims,
+    "u1_distinct_union": q_u1_distinct_union,
+    "j2_unnest_parallel": q_j2_unnest_parallel,
+    "j3_customers_without_orders": q_j3_customers_without_orders,
+    "j4_exists_flag": q_j4_exists_flag,
+    "j5_null_safe_join": q_j5_null_safe_join,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_by_revenue": q_top_orders_by_revenue,
+    "scalar_suite": q_scalar_suite,
+    "dedup_exact": q_dedup_exact,
+    "text_token_count": q_text_token_count,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "emb_topk_bruteforce": q_emb_topk_bruteforce,
+    "multimodal_features": q_multimodal_features,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_candidates": q_simhash_candidates,
+    "emb_topk_lsh": q_emb_topk_lsh,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_engine_converge": ORACLE_CDC_CONVERGE,
+    "cdc_stream_pipeline": ORACLE_CDC_CONVERGE,
+    "w1_canonical": ORACLE_W1,
+    "w3_latest_order_per_customer": ORACLE_W3,
+    "w4_ntile_segments": ORACLE_W4,
+    "a1_collect_sorted": ORACLE_A1,
+    "a2_ordered_agg": ORACLE_A2,
+    "a3_distinct_dims": ORACLE_A3,
+    "u1_distinct_union": ORACLE_U1,
+    "j2_unnest_parallel": ORACLE_J2,
+    "j3_customers_without_orders": ORACLE_J3,
+    "j4_exists_flag": ORACLE_J4,
+    "j5_null_safe_join": ORACLE_J5,
+    "pricing_summary": ORACLE_PRICING,
+    "revenue_by_nation": ORACLE_REVENUE_NATION,
+    "top_orders_by_revenue": ORACLE_TOP_ORDERS,
+    "scalar_suite": ORACLE_SCALAR,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "text_token_count": ORACLE_TOKEN_COUNT,
+    "text_lang_id": ORACLE_LANG_ID,
+    "text_quality": ORACLE_QUALITY,
+    "emb_topk_bruteforce": ORACLE_EMB_TOPK,
+    "multimodal_features": ORACLE_MULTIMODAL,
+    # minhash_dedup / simhash_candidates / emb_topk_lsh: approximate —
+    # rows-only driver check; exact counterparts above are oracle-checked.
+}

@@ -1,0 +1,113 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures (a) the headline metric: CDC change-apply throughput through the
+full engine (generate → project → extract → LWW → bucket-pruned MERGE),
+and (b) the headline relational/training-data queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Extra keys beyond the driver contract: ``events_per_sec`` (the
+BASELINE.json metric), ``cdc_events``.
+Run ``python scripts/scaling_bench.py`` for the two-parallelism scaling
+evidence (local[8] vs local[32] → BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+HEADLINE_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "w3_latest_order_per_customer",
+    "w1_canonical",
+    "a2_ordered_agg",
+    "j3_customers_without_orders",
+    "dedup_exact",
+    "minhash_dedup",
+    "text_quality",
+    "emb_topk_bruteforce",
+]
+
+
+def bench_cdc(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32):
+    """Apply a freshly generated event log through the engine; return
+    (seconds, events applied)."""
+    from pyspark.sql import functions as F
+
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.cdc.generator import generate_events
+    from aus_land_data_etl_spark.lake.merge import read_current
+
+    d = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        events = generate_events(spark, n_events, seed=42).cache()
+        total = events.count()  # materialise outside the timed region
+        table = create_pages_table(spark, d, n_buckets=n_buckets)
+        t0 = time.monotonic()
+        for i in range(n_batches):
+            batch = events.filter(F.pmod(F.col("source_pos"), F.lit(n_batches)) == i)
+            apply_batch(table, batch, epoch=i)
+        read_current(table).count()  # converged-state read is part of the job
+        sec = time.monotonic() - t0
+        events.unpersist()
+        return sec, total
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    cdc_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", int(2_000_000 * sf)))
+
+    from aus_land_data_etl_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=int(cpus))
+
+    from aus_land_data_etl_spark.plans.driver_queries import QUERIES
+
+    timings: dict[str, float] = {}
+
+    cdc_sec, n_applied = bench_cdc(spark, cdc_events)
+    timings["cdc_apply"] = round(cdc_sec, 3)
+
+    for name in HEADLINE_QUERIES:
+        q = QUERIES[name]
+        t0 = time.monotonic()
+        df = q(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall-clock (cdc apply + queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc_events": n_applied,
+                "events_per_sec": round(n_applied / cdc_sec, 1),
+                "cores": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
