@@ -19,9 +19,13 @@ from aus_land_data_etl_spark.functions.text import extract_text_udf, lang_id
 from aus_land_data_etl_spark.lake.merge import merge_into
 from aus_land_data_etl_spark.lake.table import LakeTable
 
-#: Salt count for the two-level hot-key LWW reduction.  0 disables; the
-#: bench enables it for the skewed stream.
-DEFAULT_SALTS = 8
+#: Salt count for the two-level hot-key LWW pre-reduce.  0 disables (the
+#: default): LWW is associative, so the merge resolves target ∪ source in
+#: one aggregation, and an extra pre-shuffle only pays off when individual
+#: keys carry huge duplicate-event counts within a batch.  Hot *domains*
+#: (north rule) don't skew the per-url grouping; a genuinely hot *url*
+#: does, and then n_salts>1 bounds the reduce-side key width.
+DEFAULT_SALTS = 0
 
 
 def create_pages_table(
@@ -37,39 +41,53 @@ def create_pages_table(
     )
 
 
-def compute_manifest(batch: DataFrame) -> list[dict[str, Any]]:
-    """Per-source-partition lineage: offset range, row count, order-
-    insensitive checksum of (url, warc_ts, op).
+def compute_manifest(
+    batch: DataFrame, n_buckets: int | None = None
+) -> tuple[list[dict[str, Any]], list[int]]:
+    """Per-source-partition lineage + the touched-bucket set, in ONE action.
 
-    The checksum uses ``bit_xor`` of per-row hashes — commutative, so the
-    same set of rows yields the same checksum regardless of partitioning or
-    arrival order (replay comparability).  The reference analog is its
-    per-file row-count telemetry + unique file_path lineage
-    (/root/reference/lib/pipeline/nsw_vg/land_values/telemetry.py:25-84,
-    sql/meta/schema/001_APPLY_init.sql:36-56).
+    Lineage: offset range, row count, order-insensitive checksum of
+    (url, warc_ts, op).  The checksum uses ``bit_xor`` of per-row hashes —
+    commutative, so the same set of rows yields the same checksum
+    regardless of partitioning or arrival order (replay comparability).
+    The reference analog is its per-file row-count telemetry + unique
+    file_path lineage (/root/reference/lib/pipeline/nsw_vg/land_values/
+    telemetry.py:25-84, sql/meta/schema/001_APPLY_init.sql:36-56).
+
+    The touched-bucket ids piggyback on the same aggregation
+    (``collect_set`` per group, unioned driver-side — bounded by
+    n_buckets) so the merge needs no separate probe job.
     """
-    rows = (
-        batch.groupBy("source_partition")
-        .agg(
-            F.min("source_offset").alias("start_offset"),
-            F.max("source_offset").alias("end_offset"),
-            F.count("*").alias("row_count"),
-            F.expr(
-                "conv(cast(bit_xor(xxhash64(url, cast(warc_ts as string), op)) as string), 10, 16)"
-            ).alias("checksum"),
-        )
-        .collect()
-    )
-    return [
-        {
-            "source_partition": int(r["source_partition"]),
-            "start_offset": int(r["start_offset"]),
-            "end_offset": int(r["end_offset"]),
-            "row_count": int(r["row_count"]),
-            "checksum": str(r["checksum"]),
-        }
-        for r in rows
+    from aus_land_data_etl_spark.lake.table import bucket_expr
+
+    aggs = [
+        F.min("source_offset").alias("start_offset"),
+        F.max("source_offset").alias("end_offset"),
+        F.count("*").alias("row_count"),
+        F.expr(
+            "conv(cast(bit_xor(xxhash64(url, cast(warc_ts as string), op)) as string), 10, 16)"
+        ).alias("checksum"),
     ]
+    if n_buckets is not None:
+        aggs.append(
+            F.collect_set(bucket_expr("url", n_buckets)).alias("buckets")
+        )
+    rows = batch.groupBy("source_partition").agg(*aggs).collect()
+    touched: set[int] = set()
+    manifest = []
+    for r in rows:
+        manifest.append(
+            {
+                "source_partition": int(r["source_partition"]),
+                "start_offset": int(r["start_offset"]),
+                "end_offset": int(r["end_offset"]),
+                "row_count": int(r["row_count"]),
+                "checksum": str(r["checksum"]),
+            }
+        )
+        if n_buckets is not None:
+            touched.update(int(b) for b in r["buckets"])
+    return manifest, sorted(touched)
 
 
 def prepare_batch(events: DataFrame, registry: SchemaRegistry | None = None) -> DataFrame:
@@ -104,21 +122,21 @@ def apply_batch(
     snap = table.snapshot()
     if epoch_id in snap.committed_epochs:
         return snap.version  # replayed batch: no-op (exactly-once)
-    # Persist the prepared batch: the extraction UDF is the expensive stage
-    # and three consumers follow (manifest agg, touched-bucket probe, the
-    # merge write) — without this it would run 3×.
-    batch = prepare_batch(events, registry).persist()
-    try:
-        manifest = compute_manifest(batch)
-        for m in manifest:
-            m["epoch"] = int(epoch) if str(epoch).isdigit() else -1
-        return merge_into(
-            table,
-            batch.drop("source_partition", "source_offset"),
-            tiebreak_col="event_id",
-            epoch_id=epoch_id,
-            manifest_rows=manifest,
-            n_salts=n_salts,
-        )
-    finally:
-        batch.unpersist()
+    # No persist: the manifest aggregation reads only envelope columns, so
+    # Catalyst's column pruning drops the (deterministic) extraction UDF
+    # from that job entirely — the expensive html→text pass runs exactly
+    # once, inside the merge write.  (Persisting here would force a full
+    # materialisation including extraction — strictly worse.)
+    batch = prepare_batch(events, registry)
+    manifest, touched = compute_manifest(batch, n_buckets=snap.n_buckets)
+    for m in manifest:
+        m["epoch"] = int(epoch) if str(epoch).isdigit() else -1
+    return merge_into(
+        table,
+        batch.drop("source_partition", "source_offset"),
+        tiebreak_col="event_id",
+        epoch_id=epoch_id,
+        manifest_rows=manifest,
+        n_salts=n_salts,
+        touched=touched,
+    )

@@ -40,6 +40,7 @@ def generate_events(
     dup_fraction: float = 0.02,
     n_domains: int = 50,
     n_partitions: int | None = None,
+    n_paragraphs: int = 12,
 ) -> DataFrame:
     """Return a DataFrame of EVENT_SCHEMA rows, deterministic in (args)."""
     n_urls = n_urls or max(1, n_events // 4)
@@ -85,6 +86,23 @@ def generate_events(
     # Deterministic pseudo-HTML whose text varies per (url, warc_ts) —
     # includes entities, tags and a script block so extraction is exercised.
     body_word = F.pmod(_h(seed * 7 + 6, F.col("id")), F.lit(9999))
+    # Realistic page weight (~100 B/paragraph): extraction cost should
+    # resemble Common-Crawl pages, not 50-byte toys, or the benchmark is
+    # pure scheduler overhead.
+    paragraphs = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_paragraphs)),
+            lambda i: F.concat(
+                F.lit(
+                    "<p>the quick brown fox jumps over the lazy dog "
+                    "&amp; chases segment no. "
+                ),
+                (body_word + i).cast("string"),
+                F.lit(" through markup</p>"),
+            ),
+        ),
+        "",
+    )
     html_str = F.concat(
         F.lit("<html><head><title>Page "),
         page_id.cast("string"),
@@ -94,7 +112,9 @@ def generate_events(
         body_word.cast("string"),
         F.lit(" of version "),
         ts_off.cast("string"),
-        F.lit("</p></body></html>"),
+        F.lit("</p>"),
+        paragraphs,
+        F.lit("</body></html>"),
     )
     html = F.when(op != "delete", F.encode(html_str, "UTF-8")).otherwise(
         F.lit(None).cast("binary")

@@ -42,6 +42,7 @@ def merge_into(
     epoch_id: str | None = None,
     manifest_rows: list[dict[str, Any]] | None = None,
     n_salts: int = 0,
+    touched: list[int] | None = None,
 ) -> int:
     """Apply a CDC batch (op ∈ insert/update/delete) to the table.
 
@@ -55,64 +56,66 @@ def merge_into(
         return snap.version  # idempotent replay: already applied
     key, ver = snap.key_col, snap.version_col
 
-    # 1. one winner per key in the batch (map-side combine + optional salt)
-    winners = lww_latest(
-        batch,
-        key,
-        version_cols=[ver, tiebreak_col],
-        n_salts=n_salts,
-        salt_source=tiebreak_col if n_salts else None,
-    )
-    winners = winners.withColumn(
+    # 1. flag deletes.  LWW is associative, so the batch needs no separate
+    # pre-dedupe pass — target ∪ source resolve in ONE aggregation.  The
+    # optional two-level salted pre-reduce exists for streams where single
+    # keys carry huge duplicate counts (it shrinks the main shuffle at the
+    # cost of an extra one); off by default.
+    src = batch.withColumn(
         DELETED_COL, F.coalesce(F.col(OP_COL) == "delete", F.lit(False))
     ).drop(OP_COL)
+    if n_salts and n_salts > 1:
+        src = lww_latest(
+            src, key, version_cols=[ver, tiebreak_col],
+            n_salts=n_salts, salt_source=tiebreak_col,
+        )
 
-    # 2. bucket pruning — collect only the (≤ n_buckets) touched bucket ids.
-    # winners is consumed twice (bucket probe + merge write): persist the
-    # post-LWW rows, which are at most one per key in the batch.
-    winners = winners.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets)).persist()
-    touched = [
-        r[0] for r in winners.select(BUCKET_COL).distinct().collect()
-    ]
+    # 2. bucket pruning — only buckets containing batch keys are read and
+    # rewritten.  The caller usually supplies ``touched`` piggybacked on
+    # its manifest aggregation (one action total); otherwise probe here.
+    if touched is None:
+        probe = src.select(bucket_expr(key, snap.n_buckets).alias("b")).distinct()
+        touched = [r[0] for r in probe.collect()]
     current = table.read(buckets=touched)
     if DELETED_COL not in current.columns:
         current = current.withColumn(DELETED_COL, F.lit(False))
-    current = current.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
 
     # 3. schema evolution: union target ∪ source on the superset schema,
-    # then LWW-resolve per key.  Missing columns (either side) become NULL.
-    merged_all = current.unionByName(winners, allowMissingColumns=True)
-    # Null the payload of tombstone rows so deletes don't carry stale data.
+    # then LWW-resolve per key.  Missing columns (either side) become NULL;
+    # tombstone rows carry NULL payload so deletes never ship stale data.
+    merged_all = current.unionByName(src, allowMissingColumns=True)
     payload_cols = [
-        c
-        for c in merged_all.columns
-        if c not in (key, ver, tiebreak_col, DELETED_COL, BUCKET_COL)
+        c for c in merged_all.columns if c not in (key, ver, tiebreak_col, DELETED_COL)
     ]
     merged_all = merged_all.select(
         key,
         ver,
         tiebreak_col,
         DELETED_COL,
-        BUCKET_COL,
         *[
             F.when(F.col(DELETED_COL), F.lit(None)).otherwise(F.col(c)).alias(c)
             for c in payload_cols
         ],
     )
+    # THE one payload shuffle: repartition by key onto n_buckets partitions.
+    # bucket_expr is Spark's own hash-partitioning function, so (a) the LWW
+    # groupBy below reuses this partitioning (no second exchange — check
+    # .explain()), and (b) partition i holds exactly bucket i, so the
+    # bucketed write needs no further shuffle either.
+    merged_all = merged_all.repartition(snap.n_buckets, F.col(key))
     resolved = lww_latest(merged_all, key, version_cols=[ver, tiebreak_col])
+    resolved = resolved.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
 
     # 4. atomic commit of the touched buckets + manifest + epoch guard
     new_schema = resolved.drop(BUCKET_COL).schema
-    try:
-        return table.commit_buckets(
-            resolved,
-            touched_buckets=touched,
-            schema=new_schema,
-            manifest_rows=manifest_rows,
-            epoch_id=epoch_id,
-        )
-    finally:
-        winners.unpersist()
+    return table.commit_buckets(
+        resolved,
+        touched_buckets=touched,
+        schema=new_schema,
+        manifest_rows=manifest_rows,
+        epoch_id=epoch_id,
+        pre_bucketed=True,
+    )
 
 
 def read_current(table: LakeTable) -> DataFrame:

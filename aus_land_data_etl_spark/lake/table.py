@@ -48,8 +48,15 @@ BUCKET_COL = "bucket_id"
 
 
 def bucket_expr(key_col: str, n_buckets: int):
-    """Deterministic bucket id for a key: pmod(xxhash64(key), n)."""
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    """Deterministic bucket id for a key: pmod(murmur3(key), n).
+
+    Deliberately the SAME function Spark's HashPartitioning uses for
+    ``repartition(n, key)`` / groupBy shuffles (Murmur3 then pmod): after
+    one ``repartition(n_buckets, key)`` every task holds exactly one
+    bucket, so aggregations reuse the partitioning (no extra exchange) and
+    the bucketed write emits one file per bucket without another shuffle.
+    """
+    return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
 @dataclass
@@ -167,11 +174,26 @@ class LakeTable:
             f.write(str(snap.version))
         os.rename(tmp, self._version_ptr)  # atomic pointer swap
 
-    def _write_bucket_data(self, df: DataFrame, snapshot_version: int) -> dict[str, list[str]]:
+    def _write_bucket_data(
+        self, df: DataFrame, snapshot_version: int, pre_bucketed: bool = False
+    ) -> dict[str, list[str]]:
         """Write df (must carry BUCKET_COL) partitioned by bucket; return
-        the relative file list per bucket."""
+        the relative file list per bucket.
+
+        Rows are clustered by bucket before the partitioned write so each
+        bucket lands in exactly one task → one file per bucket, instead of
+        (tasks × buckets) small files.  This caps file count at n_buckets
+        per snapshot, keeping the next epoch's bucket-pruned read (and the
+        driver-side listing) O(buckets), not O(buckets × cores × epochs).
+        ``pre_bucketed=True`` asserts the caller already key-partitioned
+        the frame (bucket_expr matches Spark's hash partitioning), so no
+        extra shuffle is added here.
+        """
         rel_dir = os.path.join("data", f"s{snapshot_version:08d}")
         out_dir = os.path.join(self.root, rel_dir)
+        if not pre_bucketed:
+            snap = self.snapshot()
+            df = df.repartition(snap.n_buckets, F.col(BUCKET_COL))
         (
             df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
@@ -217,6 +239,7 @@ class LakeTable:
         schema: T.StructType | None = None,
         manifest_rows: list[dict[str, Any]] | None = None,
         epoch_id: str | None = None,
+        pre_bucketed: bool = False,
     ) -> int:
         """Copy-on-write commit: replace data for ``touched_buckets`` only.
 
@@ -229,7 +252,7 @@ class LakeTable:
             return snap.version  # exactly-once: batch already applied
         new_version = snap.version + 1
         assert isinstance(replaced, DataFrame)
-        new_files = self._write_bucket_data(replaced, new_version)
+        new_files = self._write_bucket_data(replaced, new_version, pre_bucketed)
         bucket_files = dict(snap.bucket_files)
         for b in touched_buckets:
             bucket_files.pop(str(b), None)

@@ -55,6 +55,16 @@ def bench_cdc(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32):
         events = generate_events(spark, n_events, seed=42).cache()
         total = events.count()  # materialise outside the timed region
         table = create_pages_table(spark, d, n_buckets=n_buckets)
+        # Warm the Python UDF workers (one per core) outside the timed
+        # region — worker spawn is a fixed cost, not apply throughput.
+        from aus_land_data_etl_spark.functions.text import extract_text_udf
+
+        n_cores = spark.sparkContext.defaultParallelism
+        (
+            spark.range(0, n_cores * 100, 1, n_cores)
+            .select(extract_text_udf(F.encode(F.lit("<p>warm</p>"), "UTF-8")))
+            .count()
+        )
         t0 = time.monotonic()
         for i in range(n_batches):
             batch = events.filter(F.pmod(F.col("source_pos"), F.lit(n_batches)) == i)

@@ -1,0 +1,161 @@
+"""Operator unit tests: salted LWW equivalence, canonicalisation,
+dedup_ml pipelines, similarity recall, unnest, joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aus_land_data_etl_spark.operators.dedup import (
+    canonicalize,
+    distinct_union,
+    lww_latest,
+)
+from aus_land_data_etl_spark.operators.dedup_ml import (
+    exact_duplicates,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_candidates,
+)
+from aus_land_data_etl_spark.operators.explode import unnest_parallel_columns
+from aus_land_data_etl_spark.operators.joins import null_safe_join
+from aus_land_data_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+
+def test_salted_lww_equals_unsalted(spark):
+    """Two-level salted reduction must be exactly equivalent to the plain
+    aggregate (max is associative) — SURVEY §7.4.5."""
+    df = spark.range(20_000).select(
+        F.concat(F.lit("k"), F.pmod(F.col("id"), F.lit(7)).cast("string")).alias("key"),
+        F.col("id").alias("ver"),
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("eid"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    plain = lww_latest(df, "key", ["ver", "eid"])
+    salted = lww_latest(df, "key", ["ver", "eid"], n_salts=16, salt_source="eid")
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
+    assert len(a) == 7
+
+
+def test_canonicalize_completeness_rank(spark):
+    df = spark.createDataFrame(
+        [
+            # key, a, b, ver, tid — row 2 has more non-null fields, older ts
+            ("k", "x", None, 10, "t1"),
+            ("k", "x", "y", 5, "t2"),
+            ("k2", None, None, 1, "t3"),
+        ],
+        "key string, a string, b string, ver int, tid string",
+    )
+    out = canonicalize(df, ["key"], ["a", "b"], "ver", "tid")
+    got = {r["tid"]: r["canonical"] for r in out.collect()}
+    assert got == {"t1": False, "t2": True, "t3": True}
+
+
+def test_distinct_union_superset_schema(spark):
+    d1 = spark.createDataFrame([(1, "a")], "k int, x string")
+    d2 = spark.createDataFrame([(1, "b")], "k int, y string")
+    out = distinct_union([d1, d2])
+    assert set(out.columns) == {"k", "x", "y"}
+    assert out.count() == 2
+
+
+def test_exact_duplicates_whitespace_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    groups = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper_id"] == 1
+    assert sorted(groups[0]["member_ids"]) == [1, 2]
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs through the "
+        "forest chasing rabbits while birds sing in the morning light of summer"
+    )
+    rows = [
+        (1, base),
+        (2, base + " extra tail words"),  # near-dup of 1
+        (3, base.replace("quick", "slow").replace("lazy", "sleepy")),  # near
+        (4, "completely unrelated text about database engines and query plans"),
+        (5, "another unrelated document mentioning spark catalyst optimizer"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_near_dups(spark, near_dup_docs):
+    pairs = minhash_dedup(near_dup_docs, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(4 not in p and 5 not in p for p in got)
+
+
+def test_ngram_jaccard_exact_values(spark, near_dup_docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard(near_dup_docs, pairs, "doc_id", "text").collect()
+    }
+    assert out[(1, 2)] > 0.7
+    assert out[(1, 4)] < 0.1
+
+
+def test_simhash_candidates_cluster(spark, near_dup_docs):
+    cands = simhash_candidates(near_dup_docs, "doc_id", "text", max_hamming=12)
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in got
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    """LSH ANN must recover most of the exact top-3 at this scale."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    # three well-separated clusters in 16-d
+    rows = []
+    for i in range(120):
+        c = i % 3
+        center = [10.0 * (1 if d == c * 5 else 0) for d in range(16)]
+        vec = [center[d] + rng.gauss(0, 0.5) for d in range(16)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(df, q, k=3)
+    approx = cosine_topk_lsh(df, q, dim=16, k=3, n_planes=8, n_tables=6)
+    e = {(r["query_id"], r["neighbour_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbour_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, recall
+
+
+def test_unnest_parallel_columns_drops_all_null(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "b", None, 10, 20, None)],
+        "k int, v1 string, v2 string, v3 string, w1 int, w2 int, w3 int",
+    )
+    out = unnest_parallel_columns(
+        df,
+        groups={"v": ["v1", "v2", "v3"], "w": ["w1", "w2", "w3"]},
+        keep=["k"],
+    )
+    rows = out.orderBy("idx").collect()
+    assert [(r["idx"], r["v"], r["w"]) for r in rows] == [(1, "a", 10), (2, "b", 20)]
+
+
+def test_null_safe_join_matches_nulls(spark):
+    l = spark.createDataFrame([(1, None), (2, "x")], "lid int, k string")
+    r = spark.createDataFrame([(10, None), (20, "x"), (30, "y")], "rid int, k string")
+    out = null_safe_join(l, r, ["k"], "inner")
+    got = {(row["lid"], row["rid"]) for row in out.collect()}
+    assert got == {(1, 10), (2, 20)}
