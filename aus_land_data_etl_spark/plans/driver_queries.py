@@ -734,6 +734,24 @@ FROM documents
 """
 
 
+def q_derive_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive-DAG stage (plans.derive.change_history): per-entity change
+    audit over the CDC envelope view of the events table."""
+    from aus_land_data_etl_spark.plans.derive import change_history
+
+    return change_history(events_as_changes(spark, sf_dir))
+
+
+ORACLE_CHANGE_HISTORY = """
+SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+       COUNT(*) AS n_changes,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_deletes,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
 # -- approximate ops: rows-only checks (no SQL oracle possible) -------------
 
 
@@ -788,6 +806,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": q_text_quality,
     "emb_topk_bruteforce": q_emb_topk_bruteforce,
     "multimodal_features": q_multimodal_features,
+    "derive_change_history": q_derive_change_history,
     "minhash_dedup": q_minhash_dedup,
     "simhash_candidates": q_simhash_candidates,
     "emb_topk_lsh": q_emb_topk_lsh,
@@ -817,6 +836,7 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_QUALITY,
     "emb_topk_bruteforce": ORACLE_EMB_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL,
+    "derive_change_history": ORACLE_CHANGE_HISTORY,
     # minhash_dedup / simhash_candidates / emb_topk_lsh: approximate —
     # rows-only driver check; exact counterparts above are oracle-checked.
 }
