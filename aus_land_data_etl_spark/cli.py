@@ -1,0 +1,109 @@
+"""spark-submit entry point for the CDC pipeline.
+
+Packaging (north rule: run via ``spark-submit --py-files`` on a
+multi-executor cluster)::
+
+    bash scripts/package.sh                      # → dist/aus_land_data_etl_spark.zip
+    spark-submit --py-files dist/aus_land_data_etl_spark.zip \
+        --master <cluster> \
+        aus_land_data_etl_spark/cli.py \
+        --wal /data/wal --table /data/pages --checkpoint /data/ckpt
+
+In the sandbox the same job runs on ``local[N]``.  Modes:
+
+- ``ingest``    tail the WAL → exactly-once MERGE (availableNow drain or
+                continuous with --continuous)
+- ``generate``  write a deterministic synthetic WAL (for rehearsal)
+- ``compact``   rewrite the table dropping tombstones
+- ``derive``    run the derive DAG and print rollup summaries
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="pages-cdc")
+    p.add_argument("mode", choices=["ingest", "generate", "compact", "derive"])
+    p.add_argument("--wal", help="WAL directory (parquet change events)")
+    p.add_argument("--table", required=True, help="lake table root")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir")
+    p.add_argument("--n-events", type=int, default=100_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--n-salts", type=int, default=0)
+    p.add_argument("--cores", default=None)
+    args = p.parse_args(argv)
+
+    from aus_land_data_etl_spark.session import get_spark
+
+    spark = get_spark("pages-cdc", cores=args.cores)
+
+    from aus_land_data_etl_spark.cdc.apply import create_pages_table
+    from aus_land_data_etl_spark.lake.merge import compact, read_current
+    from aus_land_data_etl_spark.lake.table import LakeTable
+
+    if args.mode == "generate":
+        from aus_land_data_etl_spark.cdc.generator import generate_events
+        from aus_land_data_etl_spark.streaming.runner import write_event_log
+
+        assert args.wal, "--wal required"
+        events = generate_events(spark, args.n_events, seed=args.seed)
+        write_event_log(events, args.wal, n_files=8)
+        print(json.dumps({"mode": "generate", "events": events.count(), "wal": args.wal}))
+        return
+
+    if args.mode == "ingest":
+        from aus_land_data_etl_spark.streaming.runner import run_stream
+
+        assert args.wal and args.checkpoint, "--wal/--checkpoint required"
+        table = (
+            LakeTable(spark, args.table)
+            if LakeTable.exists(args.table)
+            else create_pages_table(spark, args.table, n_buckets=args.n_buckets)
+        )
+        res = run_stream(
+            spark,
+            table,
+            args.wal,
+            args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            n_salts=args.n_salts,
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": "ingest",
+                    "batches": res.batches,
+                    "rows": res.rows,
+                    "snapshot": res.final_version,
+                    "live_pages": read_current(table).count(),
+                }
+            )
+        )
+        return
+
+    table = LakeTable(spark, args.table)
+    if args.mode == "compact":
+        v = compact(table)
+        print(json.dumps({"mode": "compact", "snapshot": v}))
+        return
+
+    if args.mode == "derive":
+        from aus_land_data_etl_spark.plans.derive import derive_all
+        from aus_land_data_etl_spark.cdc.events import EVENT_SCHEMA
+
+        assert args.wal, "--wal required"
+        events = spark.read.schema(EVENT_SCHEMA).parquet(args.wal)
+        out = derive_all(read_current(table), events)
+        summary = {name: df.count() for name, df in out.items()}
+        print(json.dumps({"mode": "derive", "counts": summary}))
+        return
+
+
+if __name__ == "__main__":
+    main()

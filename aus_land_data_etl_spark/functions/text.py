@@ -30,8 +30,6 @@ from pyspark.sql import types as T
 _RE_SCRIPT = re.compile(rb"(?is)<(script|style)\b.*?</\1\s*>")
 _RE_COMMENT = re.compile(rb"(?s)<!--.*?-->")
 _RE_TAG = re.compile(rb"(?s)<[^>]*>")
-_RE_WS = re.compile(r"[ \t\r\f\v]+")
-_RE_NL = re.compile(r"\n{2,}")
 
 
 def extract_text_bytes(raw: bytes | None) -> str | None:
@@ -49,11 +47,16 @@ def extract_text_bytes(raw: bytes | None) -> str | None:
         text = stripped.decode("utf-8")
     except UnicodeDecodeError:
         text = stripped.decode("iso-8859-1")
-    text = _html.unescape(text)
-    text = _RE_WS.sub(" ", text)
-    text = "\n".join(line.strip() for line in text.split("\n"))
-    text = _RE_NL.sub("\n", text).strip()
-    return text
+    if "&" in text:  # entity decode only when entities can exist
+        text = _html.unescape(text)
+    # Whitespace normalisation without regex (pure C string ops, ~10×
+    # cheaper than re.sub on tag-stripped text): within each line collapse
+    # any whitespace run (unicode-aware, so &nbsp; collapses too) to one
+    # space and strip; drop emptied lines; newlines separate lines.
+    if "\n" in text:
+        lines = (" ".join(line.split()) for line in text.split("\n"))
+        return "\n".join(s for s in lines if s)
+    return " ".join(text.split())
 
 
 @F.pandas_udf(T.StringType())

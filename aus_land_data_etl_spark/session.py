@@ -51,9 +51,20 @@ def get_spark(
         # Deterministic cross-engine comparison (DuckDB oracle is UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         # Parquet writer defaults: target sane file sizes at scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Micro-batch latency killers: don't wait for data locality on a
+        # local/homogeneous cluster, and use the no-rename commit protocol
+        # (v2) without _SUCCESS markers — per-epoch jobs are commit-bound.
+        .config("spark.locality.wait", "0s")
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+            "false",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

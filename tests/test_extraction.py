@@ -52,6 +52,11 @@ CASES = [
     ),
     ("none-input", None, None),
     (
+        "nbsp-collapse",
+        b"<p>a&nbsp;&nbsp;b\xc2\xa0c</p>",
+        "a b c",
+    ),
+    (
         "whitespace-collapse",
         b"<p>a\t \tb</p>\n\n\n<p>c</p>",
         "a b\nc",
