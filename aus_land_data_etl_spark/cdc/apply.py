@@ -116,8 +116,19 @@ def apply_batch(
     epoch: int | str,
     registry: SchemaRegistry | None = None,
     n_salts: int = DEFAULT_SALTS,
+    mode: str = "mor",
+    compact_depth: int = 8,
 ) -> int:
-    """Apply one micro-batch of raw change events exactly once."""
+    """Apply one micro-batch of raw change events exactly once.
+
+    ``mode='mor'`` (default): merge-on-read — O(batch) per epoch, deltas
+    folded when any bucket's stack reaches ``compact_depth`` (the scale
+    path for a 10^10-event stream).  ``mode='cow'``: copy-on-write — every
+    epoch rewrites touched buckets, read side stays one-row-per-key.
+    Both converge to identical state (same LWW total order).
+    """
+    from aus_land_data_etl_spark.lake.merge import delta_merge_into
+
     epoch_id = str(epoch)
     snap = table.snapshot()
     if epoch_id in snap.committed_epochs:
@@ -131,9 +142,19 @@ def apply_batch(
     manifest, touched = compute_manifest(batch, n_buckets=snap.n_buckets)
     for m in manifest:
         m["epoch"] = int(epoch) if str(epoch).isdigit() else -1
+    payload = batch.drop("source_partition", "source_offset")
+    if mode == "mor":
+        return delta_merge_into(
+            table,
+            payload,
+            tiebreak_col="event_id",
+            epoch_id=epoch_id,
+            manifest_rows=manifest,
+            compact_depth=compact_depth,
+        )
     return merge_into(
         table,
-        batch.drop("source_partition", "source_offset"),
+        payload,
         tiebreak_col="event_id",
         epoch_id=epoch_id,
         manifest_rows=manifest,

@@ -118,9 +118,116 @@ def merge_into(
     )
 
 
-def read_current(table: LakeTable) -> DataFrame:
-    """The live view: tombstones filtered out."""
-    df = table.read()
+def _superset_schema(table: LakeTable, batch: DataFrame):
+    """Current table schema ∪ batch columns (schema evolution: added
+    columns appended as nullable; existing columns keep their type)."""
+    from pyspark.sql import types as T
+
+    snap = table.snapshot()
+    existing = {f.name for f in snap.schema.fields}
+    fields = list(snap.schema.fields)
+    for f in batch.schema.fields:
+        if f.name not in existing:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(fields)
+
+
+def delta_merge_into(
+    table: LakeTable,
+    batch: DataFrame,
+    tiebreak_col: str,
+    epoch_id: str | None = None,
+    manifest_rows: list[dict[str, Any]] | None = None,
+    compact_depth: int = 8,
+    fanout: bool = True,
+) -> int:
+    """Merge-on-read apply: O(batch) per epoch.
+
+    Tombstone-flag the batch and append it as delta files; the base table
+    is neither read nor rewritten.  With ``fanout`` (default) the write
+    needs NO shuffle at all — rows land in delta files with their source
+    partitioning, and LWW resolution + bucket clustering are deferred to
+    readers / the next fold.  Without fanout, the batch is LWW-reduced and
+    bucket-clustered first (one batch-sized shuffle) — finer read pruning,
+    more write-side work.  When the delta stack reaches ``compact_depth``
+    commits the table is folded (the amortised rewrite the reference's
+    REINDEX step performs in bulk).
+    """
+    from aus_land_data_etl_spark.operators.dedup import lww_latest
+
+    snap = table.snapshot()
+    if epoch_id is not None and epoch_id in snap.committed_epochs:
+        return snap.version
+    key, ver = snap.key_col, snap.version_col
+    src = batch.withColumn(
+        DELETED_COL, F.coalesce(F.col(OP_COL) == "delete", F.lit(False))
+    ).drop(OP_COL)
+    payload_cols = [
+        c for c in src.columns if c not in (key, ver, tiebreak_col, DELETED_COL)
+    ]
+    src = src.select(
+        key,
+        ver,
+        tiebreak_col,
+        DELETED_COL,
+        *[
+            F.when(F.col(DELETED_COL), F.lit(None)).otherwise(F.col(c)).alias(c)
+            for c in payload_cols
+        ],
+    )
+    if not fanout:
+        src = src.repartition(snap.n_buckets, F.col(key))
+        src = lww_latest(src, key, version_cols=[ver, tiebreak_col])
+    schema = _superset_schema(table, src)
+    # align column order/set with the superset schema (missing → NULL)
+    aligned = src.select(
+        *[
+            F.col(f.name)
+            if f.name in src.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
+        *([] if fanout else [bucket_expr(key, snap.n_buckets).alias(BUCKET_COL)]),
+    )
+    v = table.commit_delta(
+        aligned,
+        schema=schema,
+        manifest_rows=manifest_rows,
+        epoch_id=epoch_id,
+        pre_bucketed=True,
+        fanout=fanout,
+    )
+    if table.max_delta_depth() >= compact_depth:
+        v = fold_deltas(table, tiebreak_col)
+    return v
+
+
+def fold_deltas(table: LakeTable, tiebreak_col: str) -> int:
+    """Compact: resolve base ∪ deltas and rewrite as base (keeps
+    tombstones — they guard against late updates until ``compact``)."""
+    snap = table.snapshot()
+    if "*" in snap.delta_files:
+        touched = list(range(snap.n_buckets))  # fanout deltas span all
+    else:
+        touched = sorted({int(b) for b in snap.delta_files})
+    if not touched:
+        return snap.version
+    resolved = table.read_resolved(buckets=touched, tiebreak_col=tiebreak_col)
+    resolved = resolved.repartition(snap.n_buckets, F.col(snap.key_col))
+    resolved = resolved.withColumn(
+        BUCKET_COL, bucket_expr(snap.key_col, snap.n_buckets)
+    )
+    return table.commit_buckets(
+        resolved,
+        touched_buckets=touched,
+        schema=snap.schema,
+        pre_bucketed=True,
+    )
+
+
+def read_current(table: LakeTable, tiebreak_col: str = "event_id") -> DataFrame:
+    """The live view: LWW-resolved (merge-on-read) minus tombstones."""
+    df = table.read_resolved(tiebreak_col=tiebreak_col)
     if DELETED_COL in df.columns:
         df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
     return df

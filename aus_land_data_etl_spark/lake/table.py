@@ -66,10 +66,16 @@ class Snapshot:
     n_buckets: int
     key_col: str
     version_col: str
-    bucket_files: dict[str, list[str]]  # bucket id (str) -> relative file paths
+    bucket_files: dict[str, list[str]]  # bucket id (str) -> base file paths
     manifests: list[dict[str, Any]] = field(default_factory=list)
     committed_epochs: list[str] = field(default_factory=list)
     properties: dict[str, Any] = field(default_factory=dict)
+    #: merge-on-read delta files per bucket (Iceberg v2 style): unresolved
+    #: newer rows (incl. tombstones) layered over the base; readers resolve
+    #: LWW, compaction folds them into bucket_files.  The sentinel key "*"
+    #: holds fanout deltas that span all buckets (written without any
+    #: shuffle — clustering deferred to compaction).
+    delta_files: dict[str, list[str]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -146,21 +152,50 @@ class LakeTable:
         self,
         version: int | None = None,
         buckets: list[int] | None = None,
+        include_deltas: bool = True,
     ) -> DataFrame:
         """Read the table at a snapshot, optionally bucket-pruned.
 
         The snapshot's schema is imposed on the scan so files written before
         a schema-evolution step surface the added columns as NULL (the
         parquet-reader analog of Iceberg's schema-id resolution).
+
+        With ``include_deltas`` the scan unions merge-on-read delta files —
+        rows are then RAW (possibly several versions per key, tombstones
+        included); use ``read_resolved`` for the LWW view.
         """
         snap = self.snapshot(version)
         files: list[str] = []
         for b, fs in snap.bucket_files.items():
             if buckets is None or int(b) in buckets:
                 files.extend(os.path.join(self.root, f) for f in fs)
+        if include_deltas:
+            for b, fs in snap.delta_files.items():
+                if buckets is None or b == "*" or int(b) in buckets:
+                    files.extend(os.path.join(self.root, f) for f in fs)
         if not files:
             return self.spark.createDataFrame([], snap.schema)
-        return self.spark.read.schema(snap.schema).parquet(*files)
+        df = self.spark.read.schema(snap.schema).parquet(*files)
+        # fanout delta files span all buckets — enforce the requested
+        # bucket subset with a (cheap, codegen'd) key-hash filter.
+        if include_deltas and buckets is not None and "*" in snap.delta_files:
+            df = df.filter(bucket_expr(snap.key_col, snap.n_buckets).isin(buckets))
+        return df
+
+    def read_resolved(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        tiebreak_col: str = "event_id",
+    ) -> DataFrame:
+        """LWW-resolved view over base ∪ deltas (merge-on-read)."""
+        from aus_land_data_etl_spark.operators.dedup import lww_latest
+
+        snap = self.snapshot(version)
+        raw = self.read(version=version, buckets=buckets, include_deltas=True)
+        if not snap.delta_files:
+            return raw  # base is already one-row-per-key
+        return lww_latest(raw, snap.key_col, [snap.version_col, tiebreak_col])
 
     # -- write -------------------------------------------------------------
     def _write_snapshot(self, snap: Snapshot) -> None:
@@ -254,11 +289,20 @@ class LakeTable:
         assert isinstance(replaced, DataFrame)
         new_files = self._write_bucket_data(replaced, new_version, pre_bucketed)
         bucket_files = dict(snap.bucket_files)
+        delta_files = dict(snap.delta_files)
         for b in touched_buckets:
             bucket_files.pop(str(b), None)
+            # base rewrite supersedes any deltas layered on these buckets
+            delta_files.pop(str(b), None)
+        # fanout deltas span every bucket — superseded only by a full fold
+        if set(touched_buckets) >= set(range(snap.n_buckets)):
+            delta_files.pop("*", None)
         # A touched bucket that ends up empty (all rows deleted) simply has
         # no files in the new snapshot.
         bucket_files.update(new_files)
+        properties = dict(snap.properties)
+        if not delta_files:
+            properties.pop("delta_epochs", None)
         new_snap = Snapshot(
             version=new_version,
             schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
@@ -268,10 +312,79 @@ class LakeTable:
             bucket_files=bucket_files,
             manifests=snap.manifests + (manifest_rows or []),
             committed_epochs=snap.committed_epochs + ([epoch_id] if epoch_id else []),
-            properties=snap.properties,
+            properties=properties,
+            delta_files=delta_files,
         )
         self._write_snapshot(new_snap)
         return new_version
+
+    def _write_fanout_data(self, df: DataFrame, snapshot_version: int) -> list[str]:
+        """Write delta rows with NO shuffle: whatever partitioning the
+        batch already has goes straight to parquet.  Clustering by bucket
+        is deferred to the next fold (the Iceberg fanout-writer tradeoff:
+        zero write-side exchange, coarser read pruning until compaction)."""
+        rel_dir = os.path.join("data", f"s{snapshot_version:08d}")
+        out_dir = os.path.join(self.root, rel_dir)
+        df.write.mode("overwrite").parquet(out_dir)
+        return sorted(
+            os.path.join(rel_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+
+    def commit_delta(
+        self,
+        winners: DataFrame,
+        schema: T.StructType | None = None,
+        manifest_rows: list[dict[str, Any]] | None = None,
+        epoch_id: str | None = None,
+        pre_bucketed: bool = False,
+        fanout: bool = False,
+    ) -> int:
+        """Merge-on-read commit: append the batch's rows as delta files.
+
+        O(batch) per epoch — the base is never read or rewritten here;
+        readers resolve LWW over base ∪ deltas and ``fold_deltas``
+        compacts.  This is what bounds write amplification on a 10^10-event
+        stream (SURVEY §7.4.7): CoW rewrites O(table) per epoch, MoR
+        defers that to compaction across many epochs.
+        """
+        snap = self.snapshot()
+        if epoch_id is not None and epoch_id in snap.committed_epochs:
+            return snap.version
+        new_version = snap.version + 1
+        delta_files = {k: list(v) for k, v in snap.delta_files.items()}
+        if fanout:
+            delta_files.setdefault("*", []).extend(
+                self._write_fanout_data(winners, new_version)
+            )
+        else:
+            new_files = self._write_bucket_data(winners, new_version, pre_bucketed)
+            for b, fs in new_files.items():
+                delta_files.setdefault(b, []).extend(fs)
+        properties = dict(snap.properties)
+        properties["delta_epochs"] = int(properties.get("delta_epochs", 0)) + 1
+        new_snap = Snapshot(
+            version=new_version,
+            schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key_col=snap.key_col,
+            version_col=snap.version_col,
+            bucket_files=snap.bucket_files,
+            manifests=snap.manifests + (manifest_rows or []),
+            committed_epochs=snap.committed_epochs + ([epoch_id] if epoch_id else []),
+            properties=properties,
+            delta_files=delta_files,
+        )
+        self._write_snapshot(new_snap)
+        return new_version
+
+    def max_delta_depth(self) -> int:
+        """Number of unfolded delta commits (compaction trigger)."""
+        snap = self.snapshot()
+        if not snap.delta_files:
+            return 0
+        return int(snap.properties.get("delta_epochs", 0))
 
     # -- maintenance --------------------------------------------------------
     def manifest_df(self) -> DataFrame:
@@ -313,6 +426,8 @@ class LakeTable:
             except FileNotFoundError:
                 continue
             for fs in s.bucket_files.values():
+                live_files.update(fs)
+            for fs in s.delta_files.values():
                 live_files.update(fs)
         data_dir = os.path.join(self.root, "data")
         if os.path.isdir(data_dir):
