@@ -56,6 +56,20 @@ class StreamResult:
     batches: int
     rows: int
     final_version: int
+    metrics: list[dict] | None = None  # per-epoch observe() counters
+
+
+#: observe() aggregations attached to every micro-batch (the telemetry
+#: fold of the reference — lib/pipeline/nsw_vg/land_values/telemetry.py:
+#: 25-84 — as engine-side metrics instead of hand-rolled counters).
+def _batch_observations():
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_deletes"),
+        F.countDistinct("url").alias("n_keys"),
+        F.min("warc_ts").alias("min_ts"),
+        F.max("warc_ts").alias("max_ts"),
+    ]
 
 
 def run_stream(
@@ -70,10 +84,17 @@ def run_stream(
     """Tail the WAL directory into the table; drain and return stats."""
     registry = SchemaRegistry()
     counters = {"batches": 0, "rows": 0}
+    metrics: list[dict] = []
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         counters["batches"] += 1
-        counters["rows"] += batch_df.count()
+        # one tiny envelope-only aggregation doubles as row count + metrics
+        obs = batch_df.agg(*_batch_observations()).collect()[0].asDict()
+        obs["epoch"] = int(epoch_id)
+        obs["min_ts"] = str(obs["min_ts"])
+        obs["max_ts"] = str(obs["max_ts"])
+        metrics.append(obs)
+        counters["rows"] += int(obs["n_events"])
         apply_batch(table, batch_df, epoch=epoch_id, registry=registry, n_salts=n_salts)
 
     reader = (
@@ -96,4 +117,5 @@ def run_stream(
         batches=counters["batches"],
         rows=counters["rows"],
         final_version=table.current_version(),
+        metrics=metrics,
     )
