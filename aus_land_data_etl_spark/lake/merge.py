@@ -233,6 +233,31 @@ def read_current(table: LakeTable, tiebreak_col: str = "event_id") -> DataFrame:
     return df
 
 
+def append_if_absent(table: LakeTable, rows: DataFrame) -> int:
+    """Dimension upsert: insert rows whose key is not yet present.
+
+    ``MERGE INTO dim USING src ON key WHEN NOT MATCHED THEN INSERT`` — the
+    reference's ``INSERT ... SELECT DISTINCT ... ON CONFLICT DO NOTHING``
+    dimension loads (K2, /root/reference/sql/nsw_vg/tasks/from_raw_derive/
+    001_identifiers.sql:8-41).  Implemented as bucket-pruned anti-join +
+    copy-on-write append; idempotent under replay by construction.
+    """
+    snap = table.snapshot()
+    key = snap.key_col
+    fresh = rows.dropDuplicates([key])
+    probe = fresh.select(bucket_expr(key, snap.n_buckets).alias("b")).distinct()
+    touched = [r[0] for r in probe.collect()]
+    current = table.read(buckets=touched)
+    new_rows = fresh.join(current.select(key), key, "left_anti")
+    merged = current.unionByName(new_rows, allowMissingColumns=True)
+    merged = merged.repartition(snap.n_buckets, F.col(key)).withColumn(
+        BUCKET_COL, bucket_expr(key, snap.n_buckets)
+    )
+    return table.commit_buckets(
+        merged, touched_buckets=touched, pre_bucketed=True
+    )
+
+
 def compact(table: LakeTable, drop_tombstones: bool = True) -> int:
     """Full rewrite dropping tombstones (REINDEX / rewrite_data_files analog,
     /root/reference/lib/tasks/nsw_vg/ingest_deduplicate.py:100-106)."""

@@ -1,0 +1,73 @@
+"""Maintenance ops: dim upsert (K2), snapshot expiry, widening read."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aus_land_data_etl_spark.lake.merge import append_if_absent
+from aus_land_data_etl_spark.lake.table import LakeTable
+
+DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_code", T.StringType(), False),
+        T.StructField("label", T.StringType(), True),
+        T.StructField("ord", T.LongType(), True),
+    ]
+)
+
+
+def _dim(spark, codes, tag):
+    return spark.createDataFrame(
+        [(c, f"{tag}-{c}", i) for i, c in enumerate(codes)], DIM_SCHEMA
+    )
+
+
+def test_append_if_absent_idempotent(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, DIM_SCHEMA, "zone_code", "ord", n_buckets=4)
+    append_if_absent(t, _dim(spark, ["R1", "R2", "B3"], "v1"))
+    assert t.read().count() == 3
+    # conflicting re-insert keeps the FIRST version (insert-if-absent)
+    append_if_absent(t, _dim(spark, ["R2", "E4"], "v2"))
+    rows = {r["zone_code"]: r["label"] for r in t.read().collect()}
+    assert rows == {"R1": "v1-R1", "R2": "v1-R2", "B3": "v1-B3", "E4": "v2-E4"}
+    # replay of the same batch is a no-op
+    append_if_absent(t, _dim(spark, ["R2", "E4"], "v2"))
+    assert t.read().count() == 4
+
+
+def test_expire_snapshots_keeps_current_readable(spark, tmp_table_dir):
+    import os
+
+    t = LakeTable.create(spark, tmp_table_dir, DIM_SCHEMA, "zone_code", "ord", n_buckets=2)
+    for i in range(5):
+        append_if_absent(t, _dim(spark, [f"Z{i}"], f"v{i}"))
+    v = t.current_version()
+    before = t.read().count()
+    t.expire_snapshots(keep_last=2)
+    assert t.current_version() == v
+    assert t.read().count() == before
+    # ancient snapshot descriptors are gone
+    snaps = [f for f in os.listdir(os.path.join(tmp_table_dir, "_snapshots")) if f.startswith("v")]
+    assert len(snaps) == 2
+    # data dirs referenced by no kept snapshot were removed
+    data_dirs = os.listdir(os.path.join(tmp_table_dir, "data"))
+    live = set()
+    for k in range(max(0, v - 1), v + 1):
+        s = t.snapshot(k)
+        for fs in list(s.bucket_files.values()) + list(s.delta_files.values()):
+            live.update(p.split(os.sep)[1] for p in fs)
+    assert set(data_dirs) == live
+
+
+def test_widened_int_files_read_as_long(spark, tmp_table_dir):
+    """Type-widening evolution: parquet written int32 must read under a
+    snapshot schema declaring long (Spark 4 parquet widening)."""
+    import os
+
+    p = os.path.join(tmp_table_dir, "ints")
+    spark.range(10).select(F.col("id").cast("int").alias("ord")).write.parquet(p)
+    widened = T.StructType([T.StructField("ord", T.LongType(), True)])
+    got = spark.read.schema(widened).parquet(p)
+    assert got.schema["ord"].dataType == T.LongType()
+    assert got.agg(F.sum("ord")).collect()[0][0] == 45
