@@ -51,6 +51,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver runs these in its own session: pin UTC so timestamp
+    # results hash identically to the (UTC-naive) DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -57,6 +57,7 @@ class StreamResult:
     rows: int
     final_version: int
     metrics: list[dict] | None = None  # per-epoch observe() counters
+    query: object | None = None  # live StreamingQuery handle (continuous mode)
 
 
 #: observe() aggregations attached to every micro-batch (the telemetry
@@ -102,20 +103,22 @@ def run_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(wal_dir)
     )
-    writer = (
-        reader.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        if available_now
-        else reader.writeStream.foreachBatch(_apply).option(
-            "checkpointLocation", checkpoint_dir
-        )
+    writer = reader.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
     )
-    q = writer.start()
-    q.awaitTermination()
+    if available_now:
+        # drain the backlog then stop (RequestClose graceful-drain analog)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        # continuous tail: process whatever has arrived, leave the query
+        # running; the caller holds the handle (returned via .query).
+        q = writer.trigger(processingTime="1 second").start()
+        q.processAllAvailable()
     return StreamResult(
         batches=counters["batches"],
         rows=counters["rows"],
         final_version=table.current_version(),
         metrics=metrics,
+        query=None if available_now else q,
     )
