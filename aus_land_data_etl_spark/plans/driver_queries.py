@@ -737,6 +737,51 @@ FROM documents
 """
 
 
+def q_f_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar classifiers (F3 unit conversion, F9 zone-standard) over
+    synthetic codes derived from ``part`` columns."""
+    from aus_land_data_etl_spark.functions.core import sqm_area, zone_standard
+
+    part = _t(spark, sf_dir, "part")
+    code = F.when(
+        F.pmod(F.col("p_size"), F.lit(3)) == 0,
+        F.upper(F.substring("p_type", 1, 1)),
+    ).otherwise(F.concat(F.lit("R"), F.pmod(F.col("p_size"), F.lit(10)).cast("string")))
+    unit = F.when(F.pmod(F.col("p_size"), F.lit(2)) == 0, "H").otherwise(
+        F.when(F.pmod(F.col("p_size"), F.lit(5)) == 0, "X").otherwise("M")
+    )
+    return part.select(
+        "p_partkey",
+        code.alias("code"),
+        zone_standard(code).alias("zone_std"),
+        F.round(sqm_area(F.col("p_retailprice"), unit), 4).alias("sqm"),
+    )
+
+
+ORACLE_F_CLASSIFIERS = """
+WITH src AS (
+  SELECT p_partkey,
+         CASE WHEN p_size % 3 = 0 THEN UPPER(SUBSTRING(p_type, 1, 1))
+              ELSE 'R' || CAST(p_size % 10 AS VARCHAR) END AS code,
+         CASE WHEN p_size % 2 = 0 THEN 'H'
+              WHEN p_size % 5 = 0 THEN 'X' ELSE 'M' END AS unit,
+         p_retailprice
+  FROM part
+)
+SELECT p_partkey, code,
+       CASE WHEN code IS NULL THEN NULL
+            WHEN code IN ('A','B','C','D','E','I','M','N','O','P','R','S',
+                          'T','U','V','W','X','Y','Z') THEN 'legacy_vg_2011'
+            WHEN REGEXP_MATCHES(code, '^(IN|MU|RE|RU|SP|AGB|B|C|E|R|W)[0-9]$')
+                 THEN 'ep&a_2006'
+            ELSE 'unknown' END AS zone_std,
+       ROUND(CASE WHEN unit = 'H' THEN p_retailprice * 10000.0
+                  WHEN unit = 'M' THEN p_retailprice
+                  ELSE NULL END, 4) AS sqm
+FROM src
+"""
+
+
 def q_derive_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive-DAG stage (plans.derive.change_history): per-entity change
     audit over the CDC envelope view of the events table."""
@@ -803,6 +848,7 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_by_revenue": q_top_orders_by_revenue,
     "scalar_suite": q_scalar_suite,
+    "f_classifiers": q_f_classifiers,
     "dedup_exact": q_dedup_exact,
     "text_token_count": q_text_token_count,
     "text_lang_id": q_text_lang_id,
@@ -833,6 +879,7 @@ ORACLES: dict[str, str] = {
     "revenue_by_nation": ORACLE_REVENUE_NATION,
     "top_orders_by_revenue": ORACLE_TOP_ORDERS,
     "scalar_suite": ORACLE_SCALAR,
+    "f_classifiers": ORACLE_F_CLASSIFIERS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "text_token_count": ORACLE_TOKEN_COUNT,
     "text_lang_id": ORACLE_LANG_ID,
