@@ -174,6 +174,57 @@ def ngram_jaccard(
     return out
 
 
+def jaccard_all_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every document pair sharing ≥ 1 shingle.
+
+    No cross join: a pair with Jaccard > 0 shares at least one shingle, so
+    the shingle-row self-equi-join enumerates exactly the nonzero pairs.
+    |A∩B| is the per-pair join row count; |A∪B| = |A|+|B|−|A∩B| from the
+    per-doc shingle counts (broadcast — one row per doc).
+
+    Scale note: cost is Σ_shingle (docs-per-shingle)², so a stop-shingle
+    cap (drop shingles occurring in > p% of docs — they contribute no
+    discrimination) bounds hot-shingle blowup; candidates from
+    ``minhash_lsh_candidates`` + ``ngram_jaccard`` is the 10^10-row path.
+    This exact form is the oracle-checkable ground truth.
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"})),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"})),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

@@ -82,6 +82,173 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): all (a < b) pairs
+    with cosine ≥ threshold.
+
+    One side is broadcast, so the big side never shuffles; the dot product
+    is a Catalyst ``zip_with``/``aggregate`` expression (JVM-side).  Exact
+    all-pairs is the oracle-checkable ground truth; at corpus scale use
+    ``cosine_topk_lsh``/``ivf_topk`` buckets as the candidate generator and
+    this same scoring expression on candidates only.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means cells + nprobe search
+# ---------------------------------------------------------------------------
+
+
+def _unit(a: Column) -> Column:
+    n = _norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_iters: int = 1,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: hash-seeded init + Lloyd iterations.
+
+    Init picks the ``n_cells`` corpus vectors with the smallest
+    ``xxhash64(id, seed)`` (a deterministic uniform sample — no
+    ``Math.random`` at plan time, replay-reproducible).  Each Lloyd pass is
+    fully distributed: cell assignment is an argmax over centroid literals
+    (broadcast by the plan), and the per-cell mean reduces via
+    ``posexplode → groupBy(cell, pos) → avg`` so only
+    ``n_cells × dim`` scalars ever reach the driver.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = (
+        vecs.orderBy(F.xxhash64(F.col("_id"), F.lit(seed)))
+        .limit(n_cells)
+        .select("v")
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    for _ in range(n_iters):
+        assigned = vecs.select(
+            "v", _cell_assign(F.col("v"), centroids).alias("cell")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        centroids = [
+            [by_cell[c][p] for p in sorted(by_cell[c])] if c in by_cell else centroids[c]
+            for c in range(n_cells)
+        ]
+    return centroids
+
+
+def _cell_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax_i cosine(vec, centroid_i) as one Catalyst expression."""
+    u = _unit(vec)
+    scored = [
+        F.struct(
+            _dot(u, _unit(F.array(*[F.lit(x) for x in c]))).alias("s"),
+            F.lit(-i).alias("negc"),  # tie → lowest cell id
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return (-F.array_max(F.array(*scored))["negc"]).cast("int")
+
+
+def _probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe nearest cell ids for a query vector."""
+    u = _unit(vec)
+    scored = [
+        F.struct(
+            _dot(u, _unit(F.array(*[F.lit(x) for x in c]))).alias("s"),
+            F.lit(-i).alias("negc"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    ranked = F.reverse(F.array_sort(F.array(*scored)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: (-s["negc"]).cast("int"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: score only corpus vectors in the query's nprobe nearest
+    cells.  Per-query work drops from |corpus| to ≈ |corpus|·nprobe/n_cells;
+    the cell equi-join replaces the all-pairs product.  With
+    ``nprobe == n_cells`` the search is exhaustive and equals
+    ``cosine_topk_bruteforce`` exactly (the property the unit test pins).
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_cells=n_cells, seed=seed
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbour_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cell", _cell_assign(F.col("cv"), centroids))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "cell", F.explode(_probe_cells(F.col("qv"), centroids, nprobe))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbour_id"))
+        .select(
+            "query_id",
+            "neighbour_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbour_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Seeded Gaussian hyperplanes (driver-side constants, broadcast)."""
     rng = random.Random(seed)

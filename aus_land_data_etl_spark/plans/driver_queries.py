@@ -36,6 +36,7 @@ from aus_land_data_etl_spark.operators.agg import (
 from aus_land_data_etl_spark.operators.dedup import latest_per_key
 from aus_land_data_etl_spark.operators.dedup_ml import (
     exact_duplicates,
+    jaccard_all_pairs,
     minhash_dedup,
     simhash_candidates,
 )
@@ -43,8 +44,10 @@ from aus_land_data_etl_spark.operators.explode import unnest_parallel_columns
 from aus_land_data_etl_spark.operators.joins import anti_join, exists_flag, null_safe_join
 from aus_land_data_etl_spark.operators.multimodal import extract_media_features
 from aus_land_data_etl_spark.operators.similarity import (
+    cosine_neardup_pairs,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    ivf_topk,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -800,7 +803,68 @@ FROM events GROUP BY user_id
 """
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over every pair sharing ≥ 1 shingle (doc_id
+    subset), threshold 0.2 — the oracle-checked ground truth the MinHash
+    pipeline approximates."""
+    docs = _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(5)) == 0)
+    return jaccard_all_pairs(docs, "doc_id", "text", shingle_n=5, threshold=0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH docs AS (
+  SELECT doc_id, REGEXP_REPLACE(LOWER(COALESCE(text, '')), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id % 5 = 0
+),
+pos AS (
+  SELECT doc_id, t,
+         UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(t) - 4, 0))) AS i
+  FROM docs
+),
+sh AS (SELECT DISTINCT doc_id, SUBSTRING(t, CAST(i AS INT), 5) AS sh FROM pos),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+"""
+
+
+def q_emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: exact all-pairs, cosine ≥ 0.5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.5)
+
+
+ORACLE_EMB_NEARDUP = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ve FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(LIST_COSINE_SIMILARITY(a.ve, b.ve), 6) AS cosine_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(LIST_COSINE_SIMILARITY(a.ve, b.ve), 6) >= 0.5
+"""
+
+
 # -- approximate ops: rows-only checks (no SQL oracle possible) -------------
+
+
+def q_emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (8 cells, nprobe 3, deterministic k-means quantizer)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=3).select(
+        "query_id", "neighbour_id", "rank", "cosine_sim"
+    )
+
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,9 +920,12 @@ QUERIES: dict[str, QueryFn] = {
     "emb_topk_bruteforce": q_emb_topk_bruteforce,
     "multimodal_features": q_multimodal_features,
     "derive_change_history": q_derive_change_history,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "emb_neardup_cosine": q_emb_neardup_cosine,
     "minhash_dedup": q_minhash_dedup,
     "simhash_candidates": q_simhash_candidates,
     "emb_topk_lsh": q_emb_topk_lsh,
+    "emb_topk_ivf": q_emb_topk_ivf,
 }
 
 ORACLES: dict[str, str] = {
@@ -887,6 +954,10 @@ ORACLES: dict[str, str] = {
     "emb_topk_bruteforce": ORACLE_EMB_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL,
     "derive_change_history": ORACLE_CHANGE_HISTORY,
-    # minhash_dedup / simhash_candidates / emb_topk_lsh: approximate —
-    # rows-only driver check; exact counterparts above are oracle-checked.
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    "emb_neardup_cosine": ORACLE_EMB_NEARDUP,
+    # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
+    # approximate — rows-only driver check; exact counterparts above
+    # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are
+    # oracle-checked.
 }

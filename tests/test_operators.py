@@ -21,8 +21,10 @@ from aus_land_data_etl_spark.operators.dedup_ml import (
 from aus_land_data_etl_spark.operators.explode import unnest_parallel_columns
 from aus_land_data_etl_spark.operators.joins import null_safe_join
 from aus_land_data_etl_spark.operators.similarity import (
+    cosine_neardup_pairs,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    ivf_topk,
 )
 
 
@@ -137,6 +139,79 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     a = {(r["query_id"], r["neighbour_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, recall
+
+
+def _clustered_vectors(spark, n=120, dim=16, n_clusters=3, sigma=0.5):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        center = [10.0 * (1 if d == c * 5 else 0) for d in range(dim)]
+        vec = [center[d] + rng.gauss(0, sigma) for d in range(dim)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """IVF with nprobe == n_cells is exhaustive: must equal the exact
+    brute-force result row for row (same scoring expression, same total
+    order) — pins that cell partitioning loses nothing, only prunes."""
+    df = _clustered_vectors(spark)
+    q = df.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(df, q, k=3)
+    ivf = ivf_topk(df, q, k=3, n_cells=4, nprobe=4)
+    cols = ["query_id", "neighbour_id", "rank", "cosine_sim"]
+    assert sorted(map(tuple, exact.select(*cols).collect())) == sorted(
+        map(tuple, ivf.select(*cols).collect())
+    )
+
+
+def test_ivf_partial_probe_recall(spark):
+    """With clustered data, probing 2 of 6 cells keeps high recall while
+    scoring a strict subset of the corpus."""
+    df = _clustered_vectors(spark)
+    q = df.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(df, q, k=3)
+    approx = ivf_topk(df, q, k=3, n_cells=6, nprobe=2)
+    e = {(r["query_id"], r["neighbour_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbour_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.8
+
+
+def test_cosine_neardup_pairs_thresholds(spark):
+    """Same-cluster pairs sit near cosine 1; cross-cluster near 0 — the
+    0.9 threshold must keep exactly the same-cluster pairs."""
+    df = _clustered_vectors(spark, n=30)
+    pairs = cosine_neardup_pairs(df, "vec_id", "embedding", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got, "expected same-cluster near-dup pairs"
+    assert all(a % 3 == b % 3 for a, b in got)
+    n_same_cluster = sum(
+        1 for a in range(30) for b in range(a + 1, 30) if a % 3 == b % 3
+    )
+    assert len(got) == n_same_cluster
+
+
+def test_jaccard_all_pairs_matches_candidate_path(spark, near_dup_docs):
+    """The exact all-pairs Jaccard must agree with the candidate-restricted
+    ngram_jaccard on every pair both enumerate."""
+    from aus_land_data_etl_spark.operators.dedup_ml import jaccard_all_pairs
+
+    allp = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in jaccard_all_pairs(near_dup_docs, "doc_id", "text").collect()
+    }
+    pairs = spark.createDataFrame(
+        sorted(allp), "id_a long, id_b long"
+    )
+    cand = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard(near_dup_docs, pairs, "doc_id", "text").collect()
+    }
+    assert allp == cand
+    assert allp[(1, 2)] > 0.7
 
 
 def test_unnest_parallel_columns_drops_all_null(spark):
