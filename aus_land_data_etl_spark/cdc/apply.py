@@ -19,6 +19,14 @@ from aus_land_data_etl_spark.functions.text import extract_text_udf, lang_id
 from aus_land_data_etl_spark.lake.merge import merge_into
 from aus_land_data_etl_spark.lake.table import LakeTable
 
+#: Target rows per write task.  The manifest aggregation already knows the
+#: batch row count, so the delta write coalesces to ≈ this many rows per
+#: task: a 50k-row micro-batch becomes a handful of tasks (fewer Python
+#: extraction streams, fewer tiny delta files) while a 10M-row batch still
+#: fans out across the cluster.  At 1.3 KB/page this is ~35 MB of html per
+#: task — in line with maxPartitionBytes sizing.
+ROWS_PER_WRITE_TASK = 25_000
+
 #: Salt count for the two-level hot-key LWW pre-reduce.  0 disables (the
 #: default): LWW is associative, so the merge resolves target ∪ source in
 #: one aggregation, and an extra pre-shuffle only pays off when individual
@@ -143,6 +151,13 @@ def apply_batch(
     for m in manifest:
         m["epoch"] = int(epoch) if str(epoch).isdigit() else -1
     payload = batch.drop("source_partition", "source_offset")
+    # Right-size the write: the manifest just counted the batch, so shrink
+    # a small micro-batch to ~ROWS_PER_WRITE_TASK rows per task (coalesce
+    # — no shuffle; the projection+extraction run inside the merged tasks).
+    total_rows = sum(m["row_count"] for m in manifest)
+    target = max(1, -(-total_rows // ROWS_PER_WRITE_TASK))
+    if target < payload.rdd.getNumPartitions():
+        payload = payload.coalesce(target)
     if mode == "mor":
         return delta_merge_into(
             table,

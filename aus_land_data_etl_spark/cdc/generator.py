@@ -44,7 +44,16 @@ def generate_events(
 ) -> DataFrame:
     """Return a DataFrame of EVENT_SCHEMA rows, deterministic in (args)."""
     n_urls = n_urls or max(1, n_events // 4)
-    base = spark.range(0, n_events, numPartitions=n_partitions or spark.sparkContext.defaultParallelism)
+    if n_partitions is None:
+        # Size partitions to ~25k events each (≈30 MB of html): a small
+        # stream must not fan out into dozens of near-empty tasks — task
+        # and Python-worker overhead would dominate — while a large one
+        # still fills the cluster.
+        n_partitions = max(
+            1,
+            min(spark.sparkContext.defaultParallelism, n_events // 25_000 or 1),
+        )
+    base = spark.range(0, n_events, numPartitions=n_partitions)
 
     # ---- entity key with hot-domain skew --------------------------------
     u = F.pmod(_h(seed * 7 + 1, F.col("id")), F.lit(1_000_000))

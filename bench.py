@@ -41,9 +41,16 @@ HEADLINE_QUERIES = [
 ]
 
 
-def bench_cdc(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32):
+def bench_cdc(
+    spark, n_events: int, n_batches: int = 4, n_buckets: int = 32, trials: int = 2
+):
     """Apply a freshly generated event log through the engine; return
-    (seconds, events applied)."""
+    (best seconds across trials, events applied).
+
+    Best-of-N because the sandbox VM's effective speed fluctuates hugely
+    (noisy neighbours / CPU steal — observed >10× on identical runs);
+    noise only ever slows a run, so the fastest trial is the faithful
+    throughput estimate (same policy as scripts/scaling_bench.py)."""
     from pyspark.sql import functions as F
 
     from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
@@ -54,7 +61,6 @@ def bench_cdc(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32):
     try:
         events = generate_events(spark, n_events, seed=42).cache()
         total = events.count()  # materialise outside the timed region
-        table = create_pages_table(spark, d, n_buckets=n_buckets)
         # Warm-up outside the timed region: one small apply into a scratch
         # table exercises the whole path (python workers, whole-stage
         # codegen, parquet/snappy JIT).  The metric is steady-state apply
@@ -65,14 +71,22 @@ def bench_cdc(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32):
         warm = generate_events(spark, 5_000, seed=7)
         apply_batch(scratch, warm, epoch=0)
         shutil.rmtree(scratch_dir, ignore_errors=True)
-        t0 = time.monotonic()
-        for i in range(n_batches):
-            batch = events.filter(F.pmod(F.col("source_pos"), F.lit(n_batches)) == i)
-            apply_batch(table, batch, epoch=i)
-        read_current(table).count()  # converged-state read is part of the job
-        sec = time.monotonic() - t0
+        best = None
+        for trial in range(max(1, trials)):
+            trial_dir = tempfile.mkdtemp(prefix="bench_trial_", dir=d)
+            table = create_pages_table(spark, trial_dir, n_buckets=n_buckets)
+            t0 = time.monotonic()
+            for i in range(n_batches):
+                batch = events.filter(
+                    F.pmod(F.col("source_pos"), F.lit(n_batches)) == i
+                )
+                apply_batch(table, batch, epoch=i)
+            read_current(table).count()  # converged read is part of the job
+            sec = time.monotonic() - t0
+            best = sec if best is None else min(best, sec)
+            shutil.rmtree(trial_dir, ignore_errors=True)
         events.unpersist()
-        return sec, total
+        return best, total
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
