@@ -891,6 +891,122 @@ def q_emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-time analytics (batch forms of streaming/windowed.py over the
+# driver's events table)
+# ---------------------------------------------------------------------------
+
+
+def q_t_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows — the batch form of
+    ``streaming.windowed.windowed_rollup`` (same ``F.window`` expression;
+    the streaming path adds only the watermark).  Epoch-aligned windows
+    match DuckDB ``time_bucket``."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+ORACLE_WINDOWED_ROLLUP = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) per user — the
+    classic event-time session window, expressed relationally: a session
+    starts where the gap from the previous event exceeds the threshold;
+    the session id is the running count of such starts (one cumulative
+    window, no self-join)."""
+    ev = _t(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact integer gap (matches DuckDB epoch_us) —
+    # second-truncation would misclassify gaps like 1800.5s on one side
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ→UTC, session TZ pinned
+    gap = ts_us - F.lag(ts_us).over(by_user)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(new_session)
+        .over(by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_no
+  FROM gaps
+)
+SELECT user_id, session_no,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload projection: extract a typed field from the
+    JSON ``props`` column (the schema-evolution payload_extra path uses
+    the same construct) and aggregate by its decile."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        # floor() on both sides: DuckDB CAST(double AS INT) rounds while
+        # Spark's truncates — floor first makes them agree
+        ev.withColumn("k_decile", F.floor(k / 10).cast("int"))
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+    )
+
+
+ORACLE_PROPS_JSON = """
+SELECT CAST(FLOOR(CAST(json_extract(props, '$.k') AS INT) / 10) AS INT) AS k_decile,
+       COUNT(*) AS n_events,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -926,6 +1042,9 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_candidates": q_simhash_candidates,
     "emb_topk_lsh": q_emb_topk_lsh,
     "emb_topk_ivf": q_emb_topk_ivf,
+    "t_windowed_rollup": q_t_windowed_rollup,
+    "sessionize_events": q_sessionize_events,
+    "props_json": q_props_json,
 }
 
 ORACLES: dict[str, str] = {
@@ -956,6 +1075,9 @@ ORACLES: dict[str, str] = {
     "derive_change_history": ORACLE_CHANGE_HISTORY,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "emb_neardup_cosine": ORACLE_EMB_NEARDUP,
+    "t_windowed_rollup": ORACLE_WINDOWED_ROLLUP,
+    "sessionize_events": ORACLE_SESSIONIZE,
+    "props_json": ORACLE_PROPS_JSON,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above
     # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are
