@@ -21,11 +21,16 @@ from aus_land_data_etl_spark.lake.table import LakeTable
 
 #: Target rows per write task.  The manifest aggregation already knows the
 #: batch row count, so the delta write coalesces to ≈ this many rows per
-#: task: a 50k-row micro-batch becomes a handful of tasks (fewer Python
-#: extraction streams, fewer tiny delta files) while a 10M-row batch still
-#: fans out across the cluster.  At 1.3 KB/page this is ~35 MB of html per
-#: task — in line with maxPartitionBytes sizing.
-ROWS_PER_WRITE_TASK = 25_000
+#: task.  Sizing is a balance: too few rows/task and Python-worker + task
+#: overhead dominates (a 5k-row batch must not fan into 32 near-empty
+#: tasks); too many and the extraction UDF — the per-batch critical path —
+#: underfills the cluster (measured on local[32], 51k-row batches, warm
+#: workers, best-of-3 interleaved trials: 7.4s at 3 tasks vs 4.7s at
+#: 12–32 tasks; worse under contention).  4k rows ≈ 5 MB of html per
+#: task keeps every core busy from ~1 core-count rows upward while a
+#: 10M-row batch still fans out across the whole cluster (coalesce only
+#: ever shrinks partitioning, so large batches are untouched).
+ROWS_PER_WRITE_TASK = 4_000
 
 #: Salt count for the two-level hot-key LWW pre-reduce.  0 disables (the
 #: default): LWW is associative, so the merge resolves target ∪ source in

@@ -45,13 +45,16 @@ def generate_events(
     """Return a DataFrame of EVENT_SCHEMA rows, deterministic in (args)."""
     n_urls = n_urls or max(1, n_events // 4)
     if n_partitions is None:
-        # Size partitions to ~25k events each (≈30 MB of html): a small
-        # stream must not fan out into dozens of near-empty tasks — task
-        # and Python-worker overhead would dominate — while a large one
-        # still fills the cluster.
+        # Size partitions to ~4k events each (≈5 MB of html), capped at
+        # the cluster parallelism: a small stream must not fan out into
+        # dozens of near-empty tasks — task and Python-worker overhead
+        # would dominate — while anything from ~1 core-count of rows
+        # upward fills every core for the downstream extraction UDF
+        # (measured: 51k-row batches write 1.6-7x faster at 12-32 tasks
+        # than at 3, warm workers — see cdc/apply.py ROWS_PER_WRITE_TASK).
         n_partitions = max(
             1,
-            min(spark.sparkContext.defaultParallelism, n_events // 25_000 or 1),
+            min(spark.sparkContext.defaultParallelism, n_events // 4_000 or 1),
         )
     base = spark.range(0, n_events, numPartitions=n_partitions)
 

@@ -84,23 +84,10 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 32,
-    n_bands: int = 8,
-    shingle_n: int = 5,
-    seed: int = 42,
-) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH on MinHash signatures.
-
-    Rows with any identical band (r = k/n_bands contiguous signature
-    elements) become a candidate pair: explode bands → self-join on
-    (band, band_hash) → distinct (id_a < id_b) pairs.
-    """
+def band_pairs(sigs: DataFrame, k: int, n_bands: int) -> DataFrame:
+    """Banded-LSH candidate pairs from precomputed signatures: explode
+    bands → self-join on (band, band_hash) → distinct (id_a < id_b)."""
     r = k // n_bands
-    sigs = minhash_signatures(shingle_rows(df, id_col, text_col, shingle_n), k, seed)
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -125,20 +112,62 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH on MinHash signatures.
+
+    Rows with any identical band (r = k/n_bands contiguous signature
+    elements) become a candidate pair (see ``band_pairs``).
+    """
+    sigs = minhash_signatures(shingle_rows(df, id_col, text_col, shingle_n), k, seed)
+    return band_pairs(sigs, k, n_bands)
+
+
+def estimated_similarity(
+    pairs: DataFrame, sigs: DataFrame, k: int
+) -> DataFrame:
+    """MinHash similarity estimate per pair: fraction of equal signature
+    elements (Broder's unbiased Jaccard estimator) — two broadcast-able
+    joins and one array zip, no shingle rows touched."""
+    sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(k),
+        )
+        .drop("sig_a", "sig_b")
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs, at shingle-row granularity.
 
     |A∩B| comes from a shingle-level equi-join restricted to candidate
     ids; |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts.  No arrays are
     materialised, so a pathological 1 MB document costs rows, not memory.
+    ``pairs`` is referenced three times in the plan — pass a persisted
+    DataFrame (``minhash_dedup`` does) or it is recomputed per reference.
+    ``shingles`` lets a caller reuse already-persisted shingle rows.
     """
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, shingle_n)
     involved = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("id_b")))
@@ -233,14 +262,36 @@ def minhash_dedup(
     k: int = 32,
     n_bands: int = 8,
     shingle_n: int = 5,
+    est_margin: float = 0.2,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, k=k, n_bands=n_bands, shingle_n=shingle_n
+    """Full near-dup pipeline: LSH candidates → signature-estimate
+    prefilter → exact Jaccard ≥ threshold.
+
+    The prefilter drops candidate pairs whose MinHash similarity estimate
+    is below ``threshold - est_margin`` before the (much more expensive)
+    shingle-join verification — band collisions admit many mid-similarity
+    pairs that the exact check would reject anyway.  With k=32 hashes a
+    true j=0.8 pair estimates below 0.6 with probability ~1e-3, so recall
+    is preserved (pinned by the recall unit test); the verify set shrinks
+    ~10×.  Shingle rows and signatures are persisted across the stages
+    (they are each consumed twice) and freed before returning.
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    sigs = minhash_signatures(sh, k).persist()
+    cands = band_pairs(sigs, k, n_bands)
+    strong = (
+        estimated_similarity(cands, sigs, k)
+        .filter(F.col("est_jaccard") >= threshold - est_margin)
+        .select("id_a", "id_b")
+        .persist()
     )
-    return ngram_jaccard(df, cands, id_col, text_col, shingle_n).filter(
-        F.col("jaccard") >= threshold
-    )
+    out = ngram_jaccard(
+        df, strong, id_col, text_col, shingle_n, shingles=sh
+    ).filter(F.col("jaccard") >= threshold)
+    out = out.localCheckpoint(eager=True)  # materialise before unpersist
+    for c in (sh, sigs, strong):
+        c.unpersist()
+    return out
 
 
 def simhash_sketches(

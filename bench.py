@@ -61,15 +61,23 @@ def bench_cdc(
     try:
         events = generate_events(spark, n_events, seed=42).cache()
         total = events.count()  # materialise outside the timed region
-        # Warm-up outside the timed region: one small apply into a scratch
-        # table exercises the whole path (python workers, whole-stage
-        # codegen, parquet/snappy JIT).  The metric is steady-state apply
-        # throughput — a 10^10-event stream runs for hours; first-batch
-        # JIT is startup cost, not throughput.
+        # Warm-up outside the timed region: exercise the whole path
+        # (python workers, whole-stage codegen, parquet/snappy JIT).  The
+        # metric is steady-state apply throughput — a 10^10-event stream
+        # runs for hours; first-batch JIT is startup cost, not throughput.
+        # The extraction pass is fanned across ALL cores so every Python
+        # worker pays its pandas-import once here, not inside a timed
+        # batch (a cold 32-worker spawn storm costs tens of seconds).
+        from pyspark.sql import functions as FW
+
+        from aus_land_data_etl_spark.cdc.apply import prepare_batch
+
+        par = spark.sparkContext.defaultParallelism
+        warm = generate_events(spark, 2 * 1000 * par, seed=7, n_partitions=par)
+        prepare_batch(warm).select(FW.sum(FW.length("text"))).collect()
         scratch_dir = tempfile.mkdtemp(prefix="bench_warm_")
         scratch = create_pages_table(spark, scratch_dir, n_buckets=n_buckets)
-        warm = generate_events(spark, 5_000, seed=7)
-        apply_batch(scratch, warm, epoch=0)
+        apply_batch(scratch, generate_events(spark, 5_000, seed=7), epoch=0)
         shutil.rmtree(scratch_dir, ignore_errors=True)
         best = None
         for trial in range(max(1, trials)):
