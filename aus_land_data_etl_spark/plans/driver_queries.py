@@ -890,6 +890,29 @@ def q_emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (flag → flag+status → grand total) —
+    one shuffle, partial aggregation map-side; subtotal rows carry NULL
+    group keys exactly as the SQL ROLLUP contract defines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Event-time analytics (batch forms of streaming/windowed.py over the
 # driver's events table)
@@ -1045,6 +1068,7 @@ QUERIES: dict[str, QueryFn] = {
     "t_windowed_rollup": q_t_windowed_rollup,
     "sessionize_events": q_sessionize_events,
     "props_json": q_props_json,
+    "rollup_pricing": q_rollup_pricing,
 }
 
 ORACLES: dict[str, str] = {
@@ -1078,6 +1102,7 @@ ORACLES: dict[str, str] = {
     "t_windowed_rollup": ORACLE_WINDOWED_ROLLUP,
     "sessionize_events": ORACLE_SESSIONIZE,
     "props_json": ORACLE_PROPS_JSON,
+    "rollup_pricing": ORACLE_ROLLUP,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above
     # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are
