@@ -890,6 +890,45 @@ def q_emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_grammar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured extraction grammar over free text (the reference F14
+    analog beyond plain text: its property-description parser classifies
+    substrings into ids / named flags / residue —
+    /root/reference/lib/pipeline/nsw_lrs/property_description/parse/
+    grammar.py:29-193).  Here: pattern classes extracted with one regex
+    pass each, residue = text with all matches removed, whitespace
+    re-normalised.  All JVM-side regexp — no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    ops_pat = "(scan|join|merge|filter|sort|agg)"
+    ref_pat = "(table|row|column)"
+    residue = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"), "(scan|join|merge|filter|sort|agg|table|row|column)", ""
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.regexp_extract_all("text", F.lit(ops_pat), F.lit(1))), "|"
+        ).alias("ops"),
+        F.size(F.regexp_extract_all("text", F.lit(ref_pat), F.lit(1))).alias("n_refs"),
+        F.length(residue).alias("residue_len"),
+    )
+
+
+ORACLE_TEXT_GRAMMAR = """
+SELECT doc_id,
+       COALESCE(ARRAY_TO_STRING(LIST_SORT(regexp_extract_all(text, '(scan|join|merge|filter|sort|agg)', 1)), '|'), '') AS ops,
+       CAST(LEN(regexp_extract_all(text, '(table|row|column)', 1)) AS INT) AS n_refs,
+       CAST(LENGTH(TRIM(regexp_replace(regexp_replace(text, '(scan|join|merge|filter|sort|agg|table|row|column)', '', 'g'), '\\s+', ' ', 'g'))) AS INT) AS residue_len
+FROM documents
+"""
+
+
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP (flag → flag+status → grand total) —
     one shuffle, partial aggregation map-side; subtotal rows carry NULL
@@ -1069,6 +1108,7 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize_events": q_sessionize_events,
     "props_json": q_props_json,
     "rollup_pricing": q_rollup_pricing,
+    "text_grammar_extract": q_text_grammar_extract,
 }
 
 ORACLES: dict[str, str] = {
@@ -1103,6 +1143,7 @@ ORACLES: dict[str, str] = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "props_json": ORACLE_PROPS_JSON,
     "rollup_pricing": ORACLE_ROLLUP,
+    "text_grammar_extract": ORACLE_TEXT_GRAMMAR,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above
     # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are
