@@ -54,6 +54,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         # Parquet writer defaults: target sane file sizes at scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # zstd over snappy: identical write wall-clock on the html-heavy
+        # pages payload (measured best-of-3: 1.93s vs 1.99s per 51k-row
+        # delta) at 2.6x smaller files (7 vs 18 MB) — every downstream
+        # fold/scan reads 2.6x less, and at the 100 TB target the
+        # storage/IO saving compounds across delta stacks.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Micro-batch latency killers: don't wait for data locality on a
         # local/homogeneous cluster, and use the no-rename commit protocol
         # (v2) without _SUCCESS markers — per-epoch jobs are commit-bound.
