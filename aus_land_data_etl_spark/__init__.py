@@ -11,7 +11,9 @@ reference ETL pipeline (AKST/Aus-Land-Data-ETL), re-expressed Spark-first:
                    schema-version registry, two-level salted LWW dedupe and
                    the idempotent merge-apply pipeline.
 - ``streaming``  — Structured Streaming shell (file source → foreachBatch)
-                   with exactly-once epoch guard and observe() metrics.
+                   with exactly-once epoch guard, observe() metrics, and
+                   event-time operators (watermarked windows, bounded
+                   transport dedup, stateful LWW changelog).
 - ``functions``  — scalar column functions (deterministic ids, unit
                    conversions, classifiers, date parsing) and the
                    vectorized html→text extraction / text-analysis UDFs.
