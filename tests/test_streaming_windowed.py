@@ -4,7 +4,8 @@ Each test drains the WAL multiple times against ONE checkpoint (write
 file → drain → write file → drain).  Batch boundaries are therefore
 deterministic, and the watermark/state carried between drains is read
 back from the checkpoint — exercising recovery, not just a single run.
-A fresh memory-sink name per drain isolates each run's emissions.
+A fresh foreachBatch collector per drain isolates each run's emissions
+(the memory sink cannot resume from a checkpoint).
 """
 
 from __future__ import annotations
