@@ -176,3 +176,33 @@ def test_tombstone_blocks_late_update(spark, tmp_table_dir):
     apply_batch(table, b3, epoch=2)
     cur = read_current(table).collect()
     assert len(cur) == 1 and cur[0]["text"] == "new"
+
+
+def test_unknown_schema_version_dead_letters(spark, events, tmp_table_dir):
+    """Events with an unregistered schema_version are routed to the
+    dead-letter output and excluded from the apply — never guessed at
+    (registry contract; the reference's typed-reader error path,
+    raw_data/rows.py:106-127)."""
+    from aus_land_data_etl_spark.cdc.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    future = events.withColumn(
+        "schema_version",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) == 0, F.lit(99)).otherwise(
+            F.col("schema_version")
+        ),
+    )
+    n_bad = reg.dead_letter(future).count()
+    n_ok = reg.valid(future).count()
+    assert n_bad > 0 and n_bad + n_ok == future.count()
+    assert reg.dead_letter(future).select("schema_version").distinct().collect()[0][
+        0
+    ] == 99
+
+    table = create_pages_table(spark, tmp_table_dir, n_buckets=8)
+    apply_batch(table, reg.valid(future), epoch=0, registry=reg)
+    # converged state contains only keys whose winning event was valid
+    exp = expected_final(reg.valid(future))
+    assert state_fingerprint(read_current(table).select(
+        "url", "warc_ts", "event_id", "text", "lang", "fetch_status"
+    )) == state_fingerprint(exp)
