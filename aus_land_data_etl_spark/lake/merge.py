@@ -258,10 +258,18 @@ def append_if_absent(table: LakeTable, rows: DataFrame) -> int:
     )
 
 
-def compact(table: LakeTable, drop_tombstones: bool = True) -> int:
+def compact(
+    table: LakeTable, drop_tombstones: bool = True, tiebreak_col: str = "event_id"
+) -> int:
     """Full rewrite dropping tombstones (REINDEX / rewrite_data_files analog,
-    /root/reference/lib/tasks/nsw_vg/ingest_deduplicate.py:100-106)."""
-    df = table.read()
+    /root/reference/lib/tasks/nsw_vg/ingest_deduplicate.py:100-106).
+
+    Reads the LWW-*resolved* view, not the raw file set: on a
+    merge-on-read table with unfolded delta stacks the raw read returns
+    multiple versions per key, and compacting those verbatim would
+    materialise duplicates (caught by the ``cdc_compacted_converge``
+    driver oracle)."""
+    df = table.read_resolved(tiebreak_col=tiebreak_col)
     if drop_tombstones and DELETED_COL in df.columns:
         df = df.filter(~F.col(DELETED_COL))
     return table.overwrite(df)

@@ -890,6 +890,83 @@ def q_emb_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 dimension upsert through the real lake machinery:
+    ``append_if_absent`` (MERGE ... WHEN NOT MATCHED THEN INSERT) fed the
+    same distinct rows twice — the second pass must be a pure no-op — then
+    once more with a superset; final dim contents == SELECT DISTINCT."""
+    from pyspark.sql import types as T
+
+    from aus_land_data_etl_spark.lake.merge import append_if_absent
+    from aus_land_data_etl_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    dim_rows = ev.select(
+        F.col("event_type").alias("type_code"),
+        F.upper("event_type").alias("type_label"),
+    ).distinct()
+    d = tempfile.mkdtemp(prefix="dim_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("type_code", T.StringType()),
+                T.StructField("type_label", T.StringType()),
+            ]
+        )
+        dim = LakeTable.create(
+            spark, d, schema=schema, key_col="type_code",
+            version_col="type_code", n_buckets=4,
+        )
+        half = dim_rows.filter(F.length("type_code") <= 5)
+        append_if_absent(dim, half)
+        append_if_absent(dim, half)  # replay: no-op
+        append_if_absent(dim, dim_rows)  # rest inserted, existing kept
+        out = dim.read().select("type_code", "type_label").cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_DIM_UPSERT = """
+SELECT DISTINCT event_type AS type_code, UPPER(event_type) AS type_label
+FROM events
+"""
+
+
+def q_cdc_compacted_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K5 lifecycle: converge, then ``compact()`` (tombstone-dropping
+    full rewrite — the REINDEX/rewrite_data_files analog) and
+    ``expire_snapshots`` — the compacted table must read identically to
+    the LWW oracle."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.merge import compact, read_current
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_c_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        for i in range(4):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            apply_batch(table, batch, epoch=i)
+        compact(table)
+        table.expire_snapshots(keep_last=1)
+        out = (
+            read_current(table)
+            .select(
+                F.col("url"),
+                F.col("warc_ts"),
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("text"),
+            )
+            .cache()
+        )
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_text_grammar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured extraction grammar over free text (the reference F14
     analog beyond plain text: its property-description parser classifies
@@ -1109,6 +1186,8 @@ QUERIES: dict[str, QueryFn] = {
     "props_json": q_props_json,
     "rollup_pricing": q_rollup_pricing,
     "text_grammar_extract": q_text_grammar_extract,
+    "dim_upsert": q_dim_upsert,
+    "cdc_compacted_converge": q_cdc_compacted_converge,
 }
 
 ORACLES: dict[str, str] = {
@@ -1144,6 +1223,8 @@ ORACLES: dict[str, str] = {
     "props_json": ORACLE_PROPS_JSON,
     "rollup_pricing": ORACLE_ROLLUP,
     "text_grammar_extract": ORACLE_TEXT_GRAMMAR,
+    "dim_upsert": ORACLE_DIM_UPSERT,
+    "cdc_compacted_converge": ORACLE_CDC_CONVERGE,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above
     # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are
