@@ -243,6 +243,15 @@ def append_if_absent(table: LakeTable, rows: DataFrame) -> int:
     copy-on-write append; idempotent under replay by construction.
     """
     snap = table.snapshot()
+    if snap.delta_files:
+        # Dimension tables are copy-on-write by construction; the raw read
+        # below would copy unresolved delta versions into the base (same
+        # hazard the compact() fix addresses).  Fold first if this ever
+        # fires.
+        raise ValueError(
+            "append_if_absent requires a table without delta stacks; "
+            "run fold_deltas/compact first"
+        )
     key = snap.key_col
     fresh = rows.dropDuplicates([key])
     probe = fresh.select(bucket_expr(key, snap.n_buckets).alias("b")).distinct()
