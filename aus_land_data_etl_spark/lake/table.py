@@ -433,12 +433,18 @@ class LakeTable:
         if os.path.isdir(data_dir):
             for sdir in os.listdir(data_dir):
                 full = os.path.join(data_dir, sdir)
-                rels = {
-                    os.path.join("data", sdir, e, f)
-                    for e in os.listdir(full)
-                    if e.startswith(BUCKET_COL)
-                    for f in os.listdir(os.path.join(full, e))
-                }
+                rels: set[str] = set()
+                for e in os.listdir(full):
+                    p = os.path.join(full, e)
+                    if e.startswith(BUCKET_COL) and os.path.isdir(p):
+                        rels.update(
+                            os.path.join("data", sdir, e, f) for f in os.listdir(p)
+                        )
+                    elif e.endswith(".parquet"):
+                        # fanout delta files live at the snapshot-dir top
+                        # level (no bucket subdirs) — without this branch
+                        # their dirs were never considered for reclaim
+                        rels.add(os.path.join("data", sdir, e))
                 if rels and not (rels & live_files):
                     import shutil
 

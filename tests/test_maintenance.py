@@ -71,3 +71,31 @@ def test_widened_int_files_read_as_long(spark, tmp_table_dir):
     got = spark.read.schema(widened).parquet(p)
     assert got.schema["ord"].dataType == T.LongType()
     assert got.agg(F.sum("ord")).collect()[0][0] == 45
+
+
+def test_expire_reclaims_folded_fanout_delta_dirs(spark, tmp_table_dir):
+    """Fanout delta files live at the snapshot-dir top level (no bucket
+    subdirs); once folded into a new base and aged out of the kept window
+    their directories must be reclaimed too."""
+    import os
+
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.cdc.generator import generate_events
+    from aus_land_data_etl_spark.lake.merge import fold_deltas, read_current
+
+    t = create_pages_table(spark, tmp_table_dir, n_buckets=4)
+    ev = generate_events(spark, 400, seed=3)
+    for i in range(3):  # three fanout delta commits
+        apply_batch(t, ev.filter(F.pmod(F.col("source_pos"), F.lit(3)) == i), epoch=i)
+    assert t.snapshot().delta_files  # fanout stack exists
+    fold_deltas(t, tiebreak_col="event_id")
+    n = read_current(t).count()
+    t.expire_snapshots(keep_last=1)
+    assert read_current(t).count() == n  # current state untouched
+    data_dirs = set(os.listdir(os.path.join(tmp_table_dir, "data")))
+    live = set()
+    for fs in list(t.snapshot().bucket_files.values()) + list(
+        t.snapshot().delta_files.values()
+    ):
+        live.update(p.split(os.sep)[1] for p in fs)
+    assert data_dirs == live  # every unreferenced dir (incl. fanout) gone
