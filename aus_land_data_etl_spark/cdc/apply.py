@@ -123,6 +123,35 @@ def prepare_batch(events: DataFrame, registry: SchemaRegistry | None = None) -> 
     )
 
 
+def content_epoch_key(manifest: list[dict[str, Any]]) -> str:
+    """Content-addressed exactly-once key for a batch: a digest of its
+    per-source-partition lineage (offset ranges, row counts, checksums).
+
+    Spark batch ids are only unique within one checkpoint lineage — a
+    fresh checkpoint over the same WAL regroups files into batches that
+    reuse ids 0..N.  Keying commits by *content identity* gives the right
+    behaviour in every replay scenario: an identical batch (foreachBatch
+    retry, same-grouping WAL replay) is a commit no-op, while a
+    differently-grouped batch carrying unapplied events is applied.
+    """
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        sorted(
+            [
+                m["source_partition"],
+                m["start_offset"],
+                m["end_offset"],
+                m["row_count"],
+                m["checksum"],
+            ]
+            for m in manifest
+        )
+    )
+    return "c:" + hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
 def apply_batch(
     table: LakeTable,
     events: DataFrame,
@@ -131,6 +160,7 @@ def apply_batch(
     n_salts: int = DEFAULT_SALTS,
     mode: str = "mor",
     compact_depth: int = 8,
+    content_keyed: bool = False,
 ) -> int:
     """Apply one micro-batch of raw change events exactly once.
 
@@ -139,12 +169,18 @@ def apply_batch(
     path for a 10^10-event stream).  ``mode='cow'``: copy-on-write — every
     epoch rewrites touched buckets, read side stays one-row-per-key.
     Both converge to identical state (same LWW total order).
+
+    ``content_keyed=True`` (the streaming runner's setting) derives the
+    exactly-once key from the batch's manifest (``content_epoch_key``)
+    instead of the bare ``epoch`` id; the cheap envelope-only manifest
+    aggregation then runs before the skip decision, but a replayed batch
+    still skips the expensive extraction+write entirely.
     """
     from aus_land_data_etl_spark.lake.merge import delta_merge_into
 
     epoch_id = str(epoch)
     snap = table.snapshot()
-    if epoch_id in snap.committed_epochs:
+    if not content_keyed and epoch_id in snap.committed_epochs:
         return snap.version  # replayed batch: no-op (exactly-once)
     # No persist: the manifest aggregation reads only envelope columns, so
     # Catalyst's column pruning drops the (deterministic) extraction UDF
@@ -153,8 +189,13 @@ def apply_batch(
     # materialisation including extraction — strictly worse.)
     batch = prepare_batch(events, registry)
     manifest, touched = compute_manifest(batch, n_buckets=snap.n_buckets)
+    if content_keyed:
+        epoch_id = content_epoch_key(manifest)
+        if epoch_id in snap.committed_epochs:
+            return snap.version  # identical batch content already applied
+    epoch_num = int(epoch) if str(epoch).lstrip("-").isdigit() else -1
     for m in manifest:
-        m["epoch"] = int(epoch) if str(epoch).isdigit() else -1
+        m["epoch"] = epoch_num
     payload = batch.drop("source_partition", "source_offset")
     # Right-size the write: the manifest just counted the batch, so shrink
     # a small micro-batch to ~ROWS_PER_WRITE_TASK rows per task (coalesce

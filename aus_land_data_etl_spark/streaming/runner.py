@@ -96,7 +96,19 @@ def run_stream(
         obs["max_ts"] = str(obs["max_ts"])
         metrics.append(obs)
         counters["rows"] += int(obs["n_events"])
-        apply_batch(table, batch_df, epoch=epoch_id, registry=registry, n_salts=n_salts)
+        # content_keyed: the exactly-once key is the batch's content
+        # identity (manifest digest), not the bare Spark batch id — batch
+        # ids are only unique within one checkpoint lineage, and a fresh
+        # checkpoint over the same WAL regroups files into batches that
+        # reuse ids 0..N (see cdc.apply.content_epoch_key).
+        apply_batch(
+            table,
+            batch_df,
+            epoch=epoch_id,
+            registry=registry,
+            n_salts=n_salts,
+            content_keyed=True,
+        )
 
     reader = (
         spark.readStream.schema(EVENT_SCHEMA)

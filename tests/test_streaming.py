@@ -99,3 +99,28 @@ def test_stream_duplicate_epoch_sink_is_noop(spark, dirs):
     )
     assert fp1 == fp2
     assert table.current_version() == v1  # every re-delivered epoch no-op'd
+
+
+def test_fresh_checkpoint_regrouped_batches_still_apply(spark, dirs):
+    """A NEW checkpoint over the same WAL regroups files into batches that
+    reuse ids 0..N.  The exactly-once key is namespaced by the query id,
+    so those batches must be applied (under a bare batch-id key they'd be
+    falsely skipped as already-committed and fresh events silently lost)."""
+    events = generate_events(spark, N, seed=13)
+    first = events.filter(F.pmod(F.col("source_pos"), F.lit(2)) == 0)
+    rest = events.filter(F.pmod(F.col("source_pos"), F.lit(2)) == 1)
+
+    write_event_log(first, dirs["wal"], n_files=6)
+    table = create_pages_table(spark, dirs["table"], n_buckets=8)
+    run_stream(spark, table, dirs["wal"], dirs["ckpt"], max_files_per_trigger=1)
+
+    # lose the checkpoint; more WAL arrives; re-tail with a coarser trigger
+    # → completely different batch grouping, ids starting at 0 again
+    write_event_log(rest, dirs["wal"], n_files=2)
+    ckpt2 = dirs["ckpt"] + "_fresh"
+    run_stream(spark, table, dirs["wal"], ckpt2, max_files_per_trigger=2)
+
+    got = read_current(table).select(
+        "url", "warc_ts", "event_id", "text", "lang", "fetch_status"
+    )
+    assert _fingerprint(got) == _expected(events)
