@@ -83,3 +83,59 @@ def test_epoch_idempotency(spark, tmp_table_dir):
     v2 = t.commit_buckets(df, touched_buckets=[0, 1], epoch_id="e1")
     assert v == v2  # second commit is a no-op
     assert t.snapshot().committed_epochs == ["e1"]
+
+
+def test_partial_data_write_without_commit_is_invisible(spark, tmp_table_dir):
+    """Crash between data write and snapshot commit: orphan data files must
+    not change what readers see (the snapshot pointer is the only source
+    of truth), and the next commit proceeds normally."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, "url", "warc_ts", n_buckets=4)
+    t.overwrite(_mkdf(spark, 10, "a"))
+    v = t.current_version()
+
+    # simulate the crash: data files land for a would-be snapshot that is
+    # never committed
+    orphan = _mkdf(spark, 3, "ghost").withColumn(
+        BUCKET_COL, bucket_expr("url", 4)
+    )
+    t._write_bucket_data(orphan, snapshot_version=v + 7, pre_bucketed=False)
+
+    assert t.current_version() == v
+    assert t.read().filter(F.col("text").startswith("ghost")).count() == 0
+    assert t.read().count() == 10
+    # and the table keeps working
+    t.overwrite(_mkdf(spark, 5, "b"))
+    assert t.read().count() == 5
+
+
+def test_losing_concurrent_committer_fails_cleanly(spark, tmp_table_dir):
+    """Two handles committing onto the same snapshot: the loser of the
+    O_EXCL race raises instead of overwriting the winner's snapshot, and
+    the table stays at the winner's state (optimistic concurrency —
+    a retry loop on a fresh snapshot is the caller's policy)."""
+    import pytest as _pytest
+
+    from aus_land_data_etl_spark.lake.table import Snapshot
+
+    t1 = LakeTable.create(spark, tmp_table_dir, SCHEMA, "url", "warc_ts", n_buckets=4)
+    t2 = LakeTable(spark, tmp_table_dir)  # second handle, same root
+    t1.overwrite(_mkdf(spark, 4, "a"))
+    base_version = t1.current_version()
+
+    # t2 commits concurrently and claims the next version...
+    t2.overwrite(_mkdf(spark, 6, "b"))
+    # ...so t1's attempt to claim that same version number must fail
+    snap = t1.snapshot(base_version)
+    stale = Snapshot(
+        version=base_version + 1,  # already taken by t2
+        schema_json=snap.schema_json,
+        n_buckets=snap.n_buckets,
+        key_col=snap.key_col,
+        version_col=snap.version_col,
+        bucket_files=snap.bucket_files,
+    )
+    with _pytest.raises(FileExistsError):
+        t1._write_snapshot(stale)
+    # winner's state intact
+    assert t1.read().count() == 6
+    assert t1.read().filter(F.col("text").startswith("b")).count() == 6
