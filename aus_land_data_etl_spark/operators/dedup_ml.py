@@ -209,6 +209,7 @@ def jaccard_all_pairs(
     text_col: str,
     shingle_n: int = 5,
     threshold: float = 0.0,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every document pair sharing ≥ 1 shingle.
 
@@ -217,13 +218,25 @@ def jaccard_all_pairs(
     |A∩B| is the per-pair join row count; |A∪B| = |A|+|B|−|A∩B| from the
     per-doc shingle counts (broadcast — one row per doc).
 
-    Scale note: cost is Σ_shingle (docs-per-shingle)², so a stop-shingle
-    cap (drop shingles occurring in > p% of docs — they contribute no
-    discrimination) bounds hot-shingle blowup; candidates from
+    Scale note: cost is Σ_shingle (docs-per-shingle)², so
+    ``max_doc_frac`` (the stop-shingle cap) drops shingles occurring in
+    more than that fraction of documents before the self-join — boilerplate
+    shingles carry no discrimination but quadratic join cost.  With the cap
+    the similarity becomes Jaccard over *discriminative* shingles
+    (per-doc sizes shrink consistently).  None (default) = exact — the
+    oracle-checkable ground truth; candidates from
     ``minhash_lsh_candidates`` + ``ngram_jaccard`` is the 10^10-row path.
-    This exact form is the oracle-checkable ground truth.
     """
     sh = shingle_rows(df, id_col, text_col, shingle_n)
+    if max_doc_frac is not None:
+        n_docs = df.select(id_col).distinct().count()
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("n_docs_with"))
+            .filter(F.col("n_docs_with") > max_doc_frac * n_docs)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")
     b = sh.select(F.col("doc_id").alias("id_b"), "sh")

@@ -234,3 +234,34 @@ def test_null_safe_join_matches_nulls(spark):
     out = null_safe_join(l, r, ["k"], "inner")
     got = {(row["lid"], row["rid"]) for row in out.collect()}
     assert got == {(1, 10), (2, 20)}
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """max_doc_frac drops corpus-wide boilerplate shingles: with the cap at
+    1.0 results equal the uncapped exact form; with a tight cap, a pair
+    whose only overlap is boilerplate disappears."""
+    from aus_land_data_etl_spark.operators.dedup_ml import jaccard_all_pairs
+
+    boiler = "common footer text appears everywhere in this corpus"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha unique first {boiler}"),
+            (2, f"alpha unique first words {boiler}"),  # near-dup of 1
+            (3, f"totally different payload {boiler}"),  # only boilerplate shared
+        ],
+        "doc_id long, text string",
+    )
+    exact = jaccard_all_pairs(docs, "doc_id", "text")
+    capped_loose = jaccard_all_pairs(docs, "doc_id", "text", max_doc_frac=1.0)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, capped_loose.collect())
+    )
+
+    tight = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_all_pairs(
+            docs, "doc_id", "text", max_doc_frac=0.67
+        ).collect()
+    }
+    assert (1, 2) in tight  # discriminative overlap survives
+    assert (1, 3) not in tight and (2, 3) not in tight  # boilerplate-only pairs gone
