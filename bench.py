@@ -38,6 +38,8 @@ HEADLINE_QUERIES = [
     "minhash_dedup",
     "text_quality",
     "emb_topk_bruteforce",
+    "t_windowed_rollup",
+    "sessionize_events",
 ]
 
 
