@@ -121,6 +121,14 @@ def main() -> None:
 
     for name in HEADLINE_QUERIES:
         q = QUERIES[name]
+        # Warm pass at the smoke scale: each query's first execution pays
+        # whole-stage-codegen compilation + JIT for its unique plan shape —
+        # startup cost, not steady-state throughput (same policy as the
+        # CDC warm-up above).  sf0.001 keeps the warm pass ~free.
+        try:
+            q(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run reports real errors
         t0 = time.monotonic()
         df = q(spark, sf_dir)
         df.count()
