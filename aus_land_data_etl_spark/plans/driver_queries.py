@@ -117,10 +117,11 @@ def q_cdc_engine_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_id").cast("long").alias("event_id"),
                 F.col("text"),
             )
-            .cache()
         )
-        out.count()  # materialise before the tempdir vanishes
-        return out
+        # Durable materialisation: localCheckpoint truncates lineage so no
+        # recompute can ever touch the deleted tempdir (cache() blocks can
+        # be evicted under memory pressure and would recompute from it).
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -166,10 +167,8 @@ def q_cdc_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_id").cast("long").alias("event_id"),
                 F.col("text"),
             )
-            .cache()
         )
-        out.count()
-        return out
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -796,7 +795,7 @@ def q_derive_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CHANGE_HISTORY = """
 SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
        COUNT(*) AS n_changes,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_deletes,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_deletes,
        MIN(ts) AS first_ts,
        MAX(ts) AS last_ts
 FROM events GROUP BY user_id
@@ -921,9 +920,8 @@ def q_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_if_absent(dim, half)
         append_if_absent(dim, half)  # replay: no-op
         append_if_absent(dim, dim_rows)  # rest inserted, existing kept
-        out = dim.read().select("type_code", "type_label").cache()
-        out.count()
-        return out
+        out = dim.read().select("type_code", "type_label")
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -959,10 +957,8 @@ def q_cdc_compacted_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_id").cast("long").alias("event_id"),
                 F.col("text"),
             )
-            .cache()
         )
-        out.count()
-        return out
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
