@@ -54,6 +54,25 @@ def create_pages_table(
     )
 
 
+def manifest_frame(batch: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """The (lazy) per-source-partition lineage aggregation — exposed
+    separately so plan-evidence tooling can assert the extraction UDF is
+    pruned out of this job (it reads envelope columns only)."""
+    from aus_land_data_etl_spark.lake.table import bucket_expr
+
+    aggs = [
+        F.min("source_offset").alias("start_offset"),
+        F.max("source_offset").alias("end_offset"),
+        F.count("*").alias("row_count"),
+        F.expr(
+            "conv(cast(bit_xor(xxhash64(url, cast(warc_ts as string), op)) as string), 10, 16)"
+        ).alias("checksum"),
+    ]
+    if n_buckets is not None:
+        aggs.append(F.collect_set(bucket_expr("url", n_buckets)).alias("buckets"))
+    return batch.groupBy("source_partition").agg(*aggs)
+
+
 def compute_manifest(
     batch: DataFrame, n_buckets: int | None = None
 ) -> tuple[list[dict[str, Any]], list[int]]:
@@ -71,21 +90,7 @@ def compute_manifest(
     (``collect_set`` per group, unioned driver-side — bounded by
     n_buckets) so the merge needs no separate probe job.
     """
-    from aus_land_data_etl_spark.lake.table import bucket_expr
-
-    aggs = [
-        F.min("source_offset").alias("start_offset"),
-        F.max("source_offset").alias("end_offset"),
-        F.count("*").alias("row_count"),
-        F.expr(
-            "conv(cast(bit_xor(xxhash64(url, cast(warc_ts as string), op)) as string), 10, 16)"
-        ).alias("checksum"),
-    ]
-    if n_buckets is not None:
-        aggs.append(
-            F.collect_set(bucket_expr("url", n_buckets)).alias("buckets")
-        )
-    rows = batch.groupBy("source_partition").agg(*aggs).collect()
+    rows = manifest_frame(batch, n_buckets).collect()
     touched: set[int] = set()
     manifest = []
     for r in rows:

@@ -27,6 +27,7 @@ def read_csv_with_fallback(
     path: str,
     schema: T.StructType | None = None,
     encodings: tuple[str, ...] = ("UTF-8", "ISO-8859-1"),
+    sample_files: int = 4,
     **options,
 ) -> DataFrame:
     """CSV scan with encoding fallback.
@@ -34,11 +35,18 @@ def read_csv_with_fallback(
     Reference: land-values ingest retries ISO-8859-1 when UTF-8 decode
     fails (/root/reference/lib/pipeline/nsw_vg/land_values/ingest.py:137-177).
     Spark's csv reader substitutes malformed bytes instead of raising, so
-    the probe is explicit: scan with strict UTF-8 decode of the raw bytes
-    first; if any file fails, re-read everything with the fallback (files
-    are homogeneous per directory in the reference's sources).
+    the probe is explicit — but bounded: files are homogeneous per
+    directory in the reference's sources, so strict-decoding a sample of
+    ``sample_files`` files decides the encoding for the whole scan.  The
+    only full pass over the data is the real csv read (at 100 TB an
+    unbounded probe would double ingest I/O).
     """
-    raw = spark.read.format("binaryFile").load(path).select("content")
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .limit(max(1, sample_files))
+    )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

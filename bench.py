@@ -44,15 +44,16 @@ HEADLINE_QUERIES = [
 
 
 def bench_cdc(
-    spark, n_events: int, n_batches: int = 4, n_buckets: int = 32, trials: int = 2
+    spark, n_events: int, n_batches: int = 4, n_buckets: int = 32, trials: int = 3
 ):
     """Apply a freshly generated event log through the engine; return
-    (best seconds across trials, events applied).
+    (best seconds across trials, events applied, per-trial seconds).
 
     Best-of-N because the sandbox VM's effective speed fluctuates hugely
     (noisy neighbours / CPU steal — observed >10× on identical runs);
     noise only ever slows a run, so the fastest trial is the faithful
-    throughput estimate (same policy as scripts/scaling_bench.py)."""
+    throughput estimate (same policy as scripts/scaling_bench.py).  All
+    trial times are returned so the spread is visible in the JSON."""
     from pyspark.sql import functions as F
 
     from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
@@ -81,7 +82,7 @@ def bench_cdc(
         scratch = create_pages_table(spark, scratch_dir, n_buckets=n_buckets)
         apply_batch(scratch, generate_events(spark, 5_000, seed=7), epoch=0)
         shutil.rmtree(scratch_dir, ignore_errors=True)
-        best = None
+        trial_secs: list[float] = []
         for trial in range(max(1, trials)):
             trial_dir = tempfile.mkdtemp(prefix="bench_trial_", dir=d)
             table = create_pages_table(spark, trial_dir, n_buckets=n_buckets)
@@ -92,11 +93,10 @@ def bench_cdc(
                 )
                 apply_batch(table, batch, epoch=i)
             read_current(table).count()  # converged read is part of the job
-            sec = time.monotonic() - t0
-            best = sec if best is None else min(best, sec)
+            trial_secs.append(round(time.monotonic() - t0, 3))
             shutil.rmtree(trial_dir, ignore_errors=True)
         events.unpersist()
-        return best, total
+        return min(trial_secs), total, trial_secs
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -116,19 +116,27 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    cdc_sec, n_applied = bench_cdc(spark, cdc_events)
+    cdc_sec, n_applied, cdc_trials = bench_cdc(spark, cdc_events)
     timings["cdc_apply"] = round(cdc_sec, 3)
+
+    # Warm pass at the smoke scale: each query's first execution pays
+    # whole-stage-codegen compilation + JIT for its unique plan shape —
+    # startup cost, not steady-state throughput (same policy as the CDC
+    # warm-up above).  Derived from the bench data root so a relocated
+    # dataset still warms; falls back to the timed dir itself.
+    smoke_dir = os.environ.get(
+        "SPARK_GRAFT_SMOKE_DIR", os.path.join(os.path.dirname(sf_dir), "sf0.001")
+    )
+    if not os.path.isdir(smoke_dir):
+        print(f"warm: smoke dir {smoke_dir} missing, warming at {sf_dir}", file=sys.stderr)
+        smoke_dir = sf_dir
 
     for name in HEADLINE_QUERIES:
         q = QUERIES[name]
-        # Warm pass at the smoke scale: each query's first execution pays
-        # whole-stage-codegen compilation + JIT for its unique plan shape —
-        # startup cost, not steady-state throughput (same policy as the
-        # CDC warm-up above).  sf0.001 keeps the warm pass ~free.
         try:
-            q(spark, "/root/testdata/sf0.001").count()
-        except Exception:
-            pass  # warm-up is best-effort; the timed run reports real errors
+            q(spark, smoke_dir).count()
+        except Exception as exc:  # timed run will surface real errors loudly
+            print(f"warm: {name} failed at {smoke_dir}: {exc!r}", file=sys.stderr)
         t0 = time.monotonic()
         df = q(spark, sf_dir)
         df.count()
@@ -144,6 +152,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cdc_events": n_applied,
+                "cdc_trials": cdc_trials,
                 "events_per_sec": round(n_applied / cdc_sec, 1),
                 "cores": int(cpus),
             }

@@ -51,23 +51,98 @@ def formatted_plan(df) -> str:
 
 
 def digest(plan: str) -> dict[str, object]:
-    ops = re.findall(r"^\s*[*+:-]*\s*\(?\d*\)?\s*([A-Za-z]+[A-Za-z ]*?)(?: \(\d+\))?$", plan, re.M)
-    n_exchange = len(re.findall(r"\bExchange\b", plan)) - len(
-        re.findall(r"\bBroadcastExchange\b", plan)
-    )
+    # Count nodes from the formatted-explain detail headers "(N) Operator" —
+    # each node appears exactly once there (the tree section would double-
+    # count, and substring matching made broadcast counts go negative).
+    nodes = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.M)
+    n = lambda *names: sum(1 for x in nodes if x in names)
     return {
-        "shuffle_exchanges": n_exchange,
-        "broadcast_exchanges": len(re.findall(r"\bBroadcastExchange\b", plan)),
-        "broadcast_joins": len(
-            re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)
-        ),
-        "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
-        "wscg_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "shuffle_exchanges": n("Exchange"),
+        "broadcast_exchanges": n("BroadcastExchange"),
+        "broadcast_joins": n("BroadcastHashJoin", "BroadcastNestedLoopJoin"),
+        "sort_merge_joins": n("SortMergeJoin"),
+        "wscg_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "pushed_filters": sorted(
             set(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
         ),
         "read_schemas": sorted(set(re.findall(r"ReadSchema: (struct<[^\n]*)", plan))),
     }
+
+
+def cdc_plan_evidence(spark) -> list[str]:
+    """Plan evidence for cdc_apply itself (the headline workload):
+
+    - the manifest job must NOT contain the extraction UDF (column pruning
+      drops it — html→text runs exactly once, inside the write);
+    - the CoW merge path must have exactly ONE shuffle exchange (the
+      repartition-by-key that the LWW groupBy and bucketed write both reuse);
+    - the MoR fanout delta write must have ZERO shuffle exchanges.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aus_land_data_etl_spark.cdc.apply import (
+        create_pages_table,
+        manifest_frame,
+        prepare_batch,
+    )
+    from aus_land_data_etl_spark.cdc.generator import generate_events
+    from aus_land_data_etl_spark.lake.merge import DELETED_COL, OP_COL
+    from aus_land_data_etl_spark.lake.table import bucket_expr
+    from aus_land_data_etl_spark.operators.dedup import lww_latest
+
+    events = generate_events(spark, 2_000, seed=11)
+    batch = prepare_batch(events)
+
+    def _py_udf_nodes(plan: str) -> int:
+        return len(
+            re.findall(
+                r"^\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas)",
+                plan,
+                re.M,
+            )
+        )
+
+    man_plan = formatted_plan(manifest_frame(batch, n_buckets=8))
+    man_udfs = _py_udf_nodes(man_plan)
+    assert man_udfs == 0, "extraction UDF leaked into the manifest job"
+
+    with tempfile.TemporaryDirectory(prefix="plan_cdc_") as d:
+        table = create_pages_table(spark, d, n_buckets=8)
+        snap = table.snapshot()
+        key, ver = snap.key_col, snap.version_col
+        src = batch.withColumn(
+            DELETED_COL, F.coalesce(F.col(OP_COL) == "delete", F.lit(False))
+        ).drop(OP_COL, "source_partition", "source_offset")
+        current = table.read()
+        if DELETED_COL not in current.columns:
+            current = current.withColumn(DELETED_COL, F.lit(False))
+        merged = current.unionByName(src, allowMissingColumns=True)
+        merged = merged.repartition(snap.n_buckets, F.col(key))
+        resolved = lww_latest(merged, key, version_cols=[ver, "event_id"])
+        merge_plan = formatted_plan(resolved)
+        dm = digest(merge_plan)
+        # fanout delta write: the frame is written with source partitioning
+        fan_plan = formatted_plan(src)
+        df_fan = digest(fan_plan)
+    assert dm["shuffle_exchanges"] == 1, (
+        f"merge path has {dm['shuffle_exchanges']} exchanges, want 1"
+    )
+    assert df_fan["shuffle_exchanges"] == 0, "fanout delta write must not shuffle"
+    return [
+        "\n## cdc_apply (the headline CDC workload)\n",
+        f"- manifest job python-UDF nodes: **{man_udfs}** "
+        "(extraction pruned; asserted = 0)\n",
+        f"- CoW merge path shuffle exchanges: **{dm['shuffle_exchanges']}** "
+        "(the single repartition-by-key, reused by LWW groupBy + bucketed "
+        "write; asserted = 1)\n",
+        f"- MoR fanout delta write shuffle exchanges: "
+        f"**{df_fan['shuffle_exchanges']}** (asserted = 0)\n",
+        f"- merge-path python-UDF nodes: {_py_udf_nodes(merge_plan)} "
+        "(the Arrow-batched extraction — one node per generator-union "
+        "branch; every row passes through exactly one)\n",
+    ]
 
 
 def main() -> None:
@@ -78,6 +153,10 @@ def main() -> None:
     from aus_land_data_etl_spark.session import get_spark
 
     spark = get_spark("plans", cores=os.environ["SPARK_GRAFT_CPUS"], shuffle_partitions=8)
+    # Static plan evidence: without AQE the formatted plan is the final plan
+    # (AQE wraps everything in an unexecuted AdaptiveSparkPlan, hiding
+    # codegen ids).  Runtime sessions keep AQE on — this is explain-only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     lines = [
         "# PLANS — physical-plan evidence for the headline queries",
@@ -102,6 +181,7 @@ def main() -> None:
             f"\n## {name}\n\n"
             f"- ReadSchema (column pruning): `{'; '.join(d['read_schemas'])[:300]}`\n"
         )
+    details.extend(cdc_plan_evidence(spark))
     out = "\n".join(lines) + "\n" + "".join(details)
     Path(_REPO, "PLANS.md").write_text(out)
     print(out)

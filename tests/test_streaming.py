@@ -103,9 +103,11 @@ def test_stream_duplicate_epoch_sink_is_noop(spark, dirs):
 
 def test_fresh_checkpoint_regrouped_batches_still_apply(spark, dirs):
     """A NEW checkpoint over the same WAL regroups files into batches that
-    reuse ids 0..N.  The exactly-once key is namespaced by the query id,
-    so those batches must be applied (under a bare batch-id key they'd be
-    falsely skipped as already-committed and fresh events silently lost)."""
+    reuse ids 0..N.  The exactly-once key is CONTENT-ADDRESSED
+    (``content_epoch_key``: a digest of the batch's per-partition lineage
+    manifest), so a regrouped batch carrying unapplied events gets a fresh
+    key and is applied (under a bare batch-id key it would be falsely
+    skipped as already-committed and fresh events silently lost)."""
     events = generate_events(spark, N, seed=13)
     first = events.filter(F.pmod(F.col("source_pos"), F.lit(2)) == 0)
     rest = events.filter(F.pmod(F.col("source_pos"), F.lit(2)) == 1)
