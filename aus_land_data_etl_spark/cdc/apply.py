@@ -64,6 +64,10 @@ def manifest_frame(batch: DataFrame, n_buckets: int | None = None) -> DataFrame:
         F.min("source_offset").alias("start_offset"),
         F.max("source_offset").alias("end_offset"),
         F.count("*").alias("row_count"),
+        # density evidence for the offset watermark: at-least-once transport
+        # duplicates inflate row_count, so contiguity is proven on the
+        # distinct-offset count instead
+        F.countDistinct("source_offset").alias("distinct_offsets"),
         F.expr(
             "conv(cast(bit_xor(xxhash64(url, cast(warc_ts as string), op)) as string), 10, 16)"
         ).alias("checksum"),
@@ -100,6 +104,7 @@ def compute_manifest(
                 "start_offset": int(r["start_offset"]),
                 "end_offset": int(r["end_offset"]),
                 "row_count": int(r["row_count"]),
+                "distinct_offsets": int(r["distinct_offsets"]),
                 "checksum": str(r["checksum"]),
             }
         )
@@ -166,6 +171,7 @@ def apply_batch(
     mode: str = "mor",
     compact_depth: int = 8,
     content_keyed: bool = False,
+    wal_offsets: bool = False,
 ) -> int:
     """Apply one micro-batch of raw change events exactly once.
 
@@ -175,17 +181,21 @@ def apply_batch(
     epoch rewrites touched buckets, read side stays one-row-per-key.
     Both converge to identical state (same LWW total order).
 
-    ``content_keyed=True`` (the streaming runner's setting) derives the
-    exactly-once key from the batch's manifest (``content_epoch_key``)
-    instead of the bare ``epoch`` id; the cheap envelope-only manifest
-    aggregation then runs before the skip decision, but a replayed batch
-    still skips the expensive extraction+write entirely.
+    ``content_keyed=True`` (the streaming runner's setting) keys the
+    commit by the batch's content identity only (``content_epoch_key``) —
+    bare Spark batch ids are not recorded because they collide across
+    checkpoint lineages.  Batch-mode callers record BOTH the caller's
+    epoch id and the content key, so a batch applied one way is recognised
+    as committed the other way (mixed batch/streaming replay safety).
+    Replays older than the recent-epoch window are caught by the offset
+    watermarks (see ``lake.table``); either way a replayed batch skips the
+    expensive extraction + write entirely.
     """
     from aus_land_data_etl_spark.lake.merge import delta_merge_into
 
     epoch_id = str(epoch)
     snap = table.snapshot()
-    if not content_keyed and epoch_id in snap.committed_epochs:
+    if not content_keyed and snap.is_applied(epoch_id):
         return snap.version  # replayed batch: no-op (exactly-once)
     # No persist: the manifest aggregation reads only envelope columns, so
     # Catalyst's column pruning drops the (deterministic) extraction UDF
@@ -194,10 +204,13 @@ def apply_batch(
     # materialisation including extraction — strictly worse.)
     batch = prepare_batch(events, registry)
     manifest, touched = compute_manifest(batch, n_buckets=snap.n_buckets)
-    if content_keyed:
-        epoch_id = content_epoch_key(manifest)
-        if epoch_id in snap.committed_epochs:
-            return snap.version  # identical batch content already applied
+    content_key = content_epoch_key(manifest)
+    epoch_ids = [content_key] if content_keyed else [epoch_id, content_key]
+    # Watermark-based skip (for replays older than the recent-epoch window)
+    # is sound only under the WAL contract — unique, monotone offsets per
+    # source partition — which the caller declares via ``wal_offsets``.
+    if snap.is_applied(epoch_ids, manifest if wal_offsets else None):
+        return snap.version  # identical batch content already applied
     epoch_num = int(epoch) if str(epoch).lstrip("-").isdigit() else -1
     for m in manifest:
         m["epoch"] = epoch_num
@@ -214,16 +227,18 @@ def apply_batch(
             table,
             payload,
             tiebreak_col="event_id",
-            epoch_id=epoch_id,
+            epoch_id=epoch_ids,
             manifest_rows=manifest,
             compact_depth=compact_depth,
+            wal_offsets=wal_offsets,
         )
     return merge_into(
         table,
         payload,
         tiebreak_col="event_id",
-        epoch_id=epoch_id,
+        epoch_id=epoch_ids,
         manifest_rows=manifest,
         n_salts=n_salts,
         touched=touched,
+        wal_offsets=wal_offsets,
     )

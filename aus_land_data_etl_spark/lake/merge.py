@@ -39,10 +39,11 @@ def merge_into(
     table: LakeTable,
     batch: DataFrame,
     tiebreak_col: str,
-    epoch_id: str | None = None,
+    epoch_id: str | list[str] | None = None,
     manifest_rows: list[dict[str, Any]] | None = None,
     n_salts: int = 0,
     touched: list[int] | None = None,
+    wal_offsets: bool = False,
 ) -> int:
     """Apply a CDC batch (op ∈ insert/update/delete) to the table.
 
@@ -52,7 +53,7 @@ def merge_into(
     Returns the committed snapshot version.
     """
     snap = table.snapshot()
-    if epoch_id is not None and epoch_id in snap.committed_epochs:
+    if snap.is_applied(epoch_id, manifest_rows if wal_offsets else None):
         return snap.version  # idempotent replay: already applied
     key, ver = snap.key_col, snap.version_col
 
@@ -115,6 +116,7 @@ def merge_into(
         manifest_rows=manifest_rows,
         epoch_id=epoch_id,
         pre_bucketed=True,
+        wal_offsets=wal_offsets,
     )
 
 
@@ -136,10 +138,11 @@ def delta_merge_into(
     table: LakeTable,
     batch: DataFrame,
     tiebreak_col: str,
-    epoch_id: str | None = None,
+    epoch_id: str | list[str] | None = None,
     manifest_rows: list[dict[str, Any]] | None = None,
     compact_depth: int = 8,
     fanout: bool = True,
+    wal_offsets: bool = False,
 ) -> int:
     """Merge-on-read apply: O(batch) per epoch.
 
@@ -156,7 +159,7 @@ def delta_merge_into(
     from aus_land_data_etl_spark.operators.dedup import lww_latest
 
     snap = table.snapshot()
-    if epoch_id is not None and epoch_id in snap.committed_epochs:
+    if snap.is_applied(epoch_id, manifest_rows if wal_offsets else None):
         return snap.version
     key, ver = snap.key_col, snap.version_col
     src = batch.withColumn(
@@ -196,20 +199,58 @@ def delta_merge_into(
         epoch_id=epoch_id,
         pre_bucketed=True,
         fanout=fanout,
+        wal_offsets=wal_offsets,
     )
     if table.max_delta_depth() >= compact_depth:
-        v = fold_deltas(table, tiebreak_col)
+        v = fold_deltas(table, tiebreak_col, min_stack=compact_depth)
     return v
 
 
-def fold_deltas(table: LakeTable, tiebreak_col: str) -> int:
-    """Compact: resolve base ∪ deltas and rewrite as base (keeps
-    tombstones — they guard against late updates until ``compact``)."""
+def cluster_fanout_deltas(table: LakeTable, tiebreak_col: str) -> int:
+    """L0→L1: cluster the fanout (``"*"``) delta files into one per-bucket
+    delta layer.
+
+    Reads ONLY the fanout delta data (never the base) — O(unfolded
+    batches) — LWW-pre-reduces it (associative, tombstones preserved) and
+    lands it bucket-clustered, so subsequent reads bucket-prune the deltas
+    and the eventual base fold touches only deep stacks.
+    """
+    import os
+
     snap = table.snapshot()
-    if "*" in snap.delta_files:
-        touched = list(range(snap.n_buckets))  # fanout deltas span all
-    else:
-        touched = sorted({int(b) for b in snap.delta_files})
+    files = snap.delta_files.get("*")
+    if not files:
+        return snap.version
+    df = table.spark.read.schema(snap.schema).parquet(
+        *[os.path.join(table.root, f) for f in files]
+    )
+    df = df.repartition(snap.n_buckets, F.col(snap.key_col))
+    df = lww_latest(df, snap.key_col, [snap.version_col, tiebreak_col])
+    df = df.withColumn(BUCKET_COL, bucket_expr(snap.key_col, snap.n_buckets))
+    return table.commit_clustered_deltas(df)
+
+
+def fold_deltas(table: LakeTable, tiebreak_col: str, min_stack: int = 1) -> int:
+    """Leveled compaction: cluster fanout deltas into per-bucket layers,
+    then resolve base ∪ deltas and rewrite as base ONLY for buckets whose
+    stack depth is ≥ ``min_stack`` (keeps tombstones — they guard against
+    late updates until ``compact``).
+
+    ``min_stack=1`` (default) folds every delta — the full fold the
+    maintenance paths (``compact``, ``append_if_absent`` preconditions)
+    rely on.  The auto-trigger passes ``min_stack=compact_depth``, so a
+    fold triggered by fanout commits first pays only the O(batches)
+    clustering pass; base buckets are rewritten every ~compact_depth²
+    epochs instead of every compact_depth — and buckets untouched by
+    recent batches are never rewritten at all.
+    """
+    cluster_fanout_deltas(table, tiebreak_col)
+    snap = table.snapshot()
+    touched = sorted(
+        int(b)
+        for b, fs in snap.delta_files.items()
+        if len(fs) >= max(1, min_stack)
+    )
     if not touched:
         return snap.version
     resolved = table.read_resolved(buckets=touched, tiebreak_col=tiebreak_col)

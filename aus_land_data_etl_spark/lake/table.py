@@ -14,13 +14,28 @@ guard).  Commit = write descriptor with O_EXCL then atomically swap the
 ``_VERSION`` pointer — the same optimistic single-pointer protocol Iceberg
 uses (metadata.json + version-hint).
 
-Scale note (10^10 events / 1000 executors): the JSON descriptor holds
-bucket→file lists and manifests inline; at production scale those become
-parquet manifest files referenced by path (exactly Iceberg's manifest
-lists) — the commit protocol and pruning logic are unchanged.  Bucket
-count scales with the cluster (buckets ≙ Iceberg ``bucket(N, url)``
-partition transform), giving MERGE a bounded rewrite set and joins a
-co-partitioned layout.
+Scale design (10^10 events / 10^5 epochs): the descriptor is **O(1) in
+epoch count** —
+
+- per-epoch lineage manifests are spilled to parquet files under
+  ``_manifests/m<version>.parquet`` (Iceberg's manifest-list move); the
+  descriptor holds nothing per epoch, and ``manifest_df`` reads the
+  parquet files (a distributed scan, not driver JSON);
+- the exactly-once guard is a **bounded recent-epoch window** (fast path
+  for foreachBatch retries / immediate replays) plus **per-source-
+  partition offset high-watermarks**: the watermark is the end of the
+  contiguously-applied offset prefix, advanced only when a committed
+  batch's manifest proves density (``row_count == end-start+1``) and
+  adjacency (``start <= hwm+1``).  A batch is skipped as already-applied
+  only when its whole offset range sits under the watermark — sound for
+  arbitrarily old replays of a WAL tail, while non-contiguous ad-hoc
+  batches simply never advance the watermark (they fall back to the
+  window; a false *apply* is LWW-idempotent, a false *skip* cannot
+  happen).
+
+Bucket count scales with the cluster (buckets ≙ Iceberg ``bucket(N,
+url)`` partition transform), giving MERGE a bounded rewrite set and
+joins a co-partitioned layout.
 
 Reference parity: hash partitioning by entity key mirrors the reference's
 ``PARTITION BY HASH (property_id)`` with 16 partitions
@@ -46,6 +61,33 @@ from pyspark.sql import types as T
 # hidden, which would make `bucket=N` partition dirs invisible to the reader.
 BUCKET_COL = "bucket_id"
 
+#: Exactly-once fast path: how many recently committed epoch keys the
+#: descriptor retains verbatim.  Replays older than the window are caught
+#: by the offset watermarks (WAL batches) or re-applied idempotently
+#: (ad-hoc batches) — never falsely skipped.
+RECENT_EPOCH_WINDOW = 128
+
+#: Lineage manifest schema — one row per (epoch, source partition).
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType()),
+        T.StructField("source_partition", T.IntegerType()),
+        T.StructField("start_offset", T.LongType()),
+        T.StructField("end_offset", T.LongType()),
+        T.StructField("row_count", T.LongType()),
+        T.StructField("distinct_offsets", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def _normalize_epoch_ids(epoch_id) -> list[str]:
+    if epoch_id is None:
+        return []
+    if isinstance(epoch_id, str):
+        return [epoch_id]
+    return [str(e) for e in epoch_id]
+
 
 def bucket_expr(key_col: str, n_buckets: int):
     """Deterministic bucket id for a key: pmod(murmur3(key), n).
@@ -67,8 +109,11 @@ class Snapshot:
     key_col: str
     version_col: str
     bucket_files: dict[str, list[str]]  # bucket id (str) -> base file paths
-    manifests: list[dict[str, Any]] = field(default_factory=list)
-    committed_epochs: list[str] = field(default_factory=list)
+    #: bounded window of recently committed epoch keys (newest last)
+    recent_epochs: list[str] = field(default_factory=list)
+    #: source_partition (str) -> end of the contiguously-applied offset
+    #: prefix (-1 ≙ nothing applied); see module docstring for soundness
+    watermarks: dict[str, int] = field(default_factory=dict)
     properties: dict[str, Any] = field(default_factory=dict)
     #: merge-on-read delta files per bucket (Iceberg v2 style): unresolved
     #: newer rows (incl. tombstones) layered over the base; readers resolve
@@ -87,6 +132,54 @@ class Snapshot:
     @property
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def is_applied(
+        self,
+        epoch_id: str | list[str] | None,
+        manifest_rows: list[dict[str, Any]] | None = None,
+    ) -> bool:
+        """Exactly-once check: has this batch already been committed?
+
+        True iff any of its epoch keys is in the recent window, or its
+        manifest's whole offset range per source partition sits at or
+        under that partition's contiguous-prefix watermark.  The watermark
+        path is precise (never a false skip) because watermarks only
+        advance over proven-dense applied ranges.
+        """
+        if any(e in self.recent_epochs for e in _normalize_epoch_ids(epoch_id)):
+            return True
+        if manifest_rows:
+            return all(
+                int(m["end_offset"])
+                <= self.watermarks.get(str(m["source_partition"]), -1)
+                for m in manifest_rows
+            )
+        return False
+
+    def advanced_epoch_state(
+        self,
+        epoch_id: str | list[str] | None,
+        manifest_rows: list[dict[str, Any]] | None,
+    ) -> tuple[list[str], dict[str, int]]:
+        """(recent_epochs, watermarks) after committing this batch."""
+        recent = list(self.recent_epochs)
+        for e in _normalize_epoch_ids(epoch_id):
+            if e not in recent:
+                recent.append(e)
+        recent = recent[-RECENT_EPOCH_WINDOW:]
+        wm = dict(self.watermarks)
+        for m in manifest_rows or []:
+            p = str(m["source_partition"])
+            cur = wm.get(p, -1)
+            start = int(m["start_offset"])
+            end = int(m["end_offset"])
+            # density on DISTINCT offsets: at-least-once duplicates within
+            # a batch must not block the watermark
+            n_off = int(m.get("distinct_offsets", m["row_count"]))
+            dense = n_off == end - start + 1
+            if dense and start <= cur + 1 and end > cur:
+                wm[p] = end
+        return recent, wm
 
 
 class LakeTable:
@@ -107,6 +200,56 @@ class LakeTable:
     @property
     def _version_ptr(self) -> str:
         return os.path.join(self._snap_dir, "_VERSION")
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    def _write_manifest_rows(
+        self, version: int, rows: list[dict[str, Any]]
+    ) -> None:
+        """Spill one commit's lineage rows to ``_manifests/m<version>.parquet``.
+
+        Written (tmp + atomic rename) BEFORE the descriptor: a crash in
+        between leaves an orphan whose version is above the pointer —
+        invisible to ``manifest_df`` and overwritten by the retry.  Rows
+        are O(source partitions) per commit, written driver-side with
+        pyarrow; the descriptor never carries them.
+        """
+        if not rows:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        tbl = pa.table(
+            {
+                "epoch": pa.array([int(r["epoch"]) for r in rows], pa.int64()),
+                "source_partition": pa.array(
+                    [int(r["source_partition"]) for r in rows], pa.int32()
+                ),
+                "start_offset": pa.array(
+                    [int(r["start_offset"]) for r in rows], pa.int64()
+                ),
+                "end_offset": pa.array(
+                    [int(r["end_offset"]) for r in rows], pa.int64()
+                ),
+                "row_count": pa.array(
+                    [int(r["row_count"]) for r in rows], pa.int64()
+                ),
+                "distinct_offsets": pa.array(
+                    [int(r.get("distinct_offsets", r["row_count"])) for r in rows],
+                    pa.int64(),
+                ),
+                "checksum": pa.array(
+                    [str(r["checksum"]) for r in rows], pa.string()
+                ),
+            }
+        )
+        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(self._manifest_dir, f"m{version:08d}.parquet"))
 
     # -- lifecycle ---------------------------------------------------------
     @classmethod
@@ -260,8 +403,8 @@ class LakeTable:
             key_col=snap.key_col,
             version_col=snap.version_col,
             bucket_files=bucket_files,
-            manifests=snap.manifests,
-            committed_epochs=snap.committed_epochs,
+            recent_epochs=snap.recent_epochs,
+            watermarks=snap.watermarks,
             properties=snap.properties,
         )
         self._write_snapshot(new_snap)
@@ -273,17 +416,25 @@ class LakeTable:
         touched_buckets: list[int],
         schema: T.StructType | None = None,
         manifest_rows: list[dict[str, Any]] | None = None,
-        epoch_id: str | None = None,
+        epoch_id: str | list[str] | None = None,
         pre_bucketed: bool = False,
+        wal_offsets: bool = False,
     ) -> int:
         """Copy-on-write commit: replace data for ``touched_buckets`` only.
 
         ``replaced`` is one DataFrame carrying BUCKET_COL covering exactly
         the touched buckets.  Untouched buckets keep their existing files —
         this is what bounds MERGE write amplification at scale (SURVEY §7.4.7).
+
+        ``wal_offsets=True`` declares the source's offsets unique and
+        monotone per partition (the binlog/WAL contract) — only then do the
+        offset watermarks participate in replay skipping and advance; an
+        ad-hoc batch source may reuse offsets, which would make the
+        watermark unsound.
         """
         snap = self.snapshot()
-        if epoch_id is not None and epoch_id in snap.committed_epochs:
+        wm_rows = manifest_rows if wal_offsets else None
+        if snap.is_applied(epoch_id, wm_rows):
             return snap.version  # exactly-once: batch already applied
         new_version = snap.version + 1
         assert isinstance(replaced, DataFrame)
@@ -303,6 +454,11 @@ class LakeTable:
         properties = dict(snap.properties)
         if not delta_files:
             properties.pop("delta_epochs", None)
+        elif "*" not in delta_files:
+            # leveled state: depth is the deepest remaining per-bucket stack
+            properties["delta_epochs"] = max(len(fs) for fs in delta_files.values())
+        recent, watermarks = snap.advanced_epoch_state(epoch_id, wm_rows)
+        self._write_manifest_rows(new_version, manifest_rows or [])
         new_snap = Snapshot(
             version=new_version,
             schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
@@ -310,8 +466,8 @@ class LakeTable:
             key_col=snap.key_col,
             version_col=snap.version_col,
             bucket_files=bucket_files,
-            manifests=snap.manifests + (manifest_rows or []),
-            committed_epochs=snap.committed_epochs + ([epoch_id] if epoch_id else []),
+            recent_epochs=recent,
+            watermarks=watermarks,
             properties=properties,
             delta_files=delta_files,
         )
@@ -337,9 +493,10 @@ class LakeTable:
         winners: DataFrame,
         schema: T.StructType | None = None,
         manifest_rows: list[dict[str, Any]] | None = None,
-        epoch_id: str | None = None,
+        epoch_id: str | list[str] | None = None,
         pre_bucketed: bool = False,
         fanout: bool = False,
+        wal_offsets: bool = False,
     ) -> int:
         """Merge-on-read commit: append the batch's rows as delta files.
 
@@ -350,7 +507,8 @@ class LakeTable:
         defers that to compaction across many epochs.
         """
         snap = self.snapshot()
-        if epoch_id is not None and epoch_id in snap.committed_epochs:
+        wm_rows = manifest_rows if wal_offsets else None
+        if snap.is_applied(epoch_id, wm_rows):
             return snap.version
         new_version = snap.version + 1
         delta_files = {k: list(v) for k, v in snap.delta_files.items()}
@@ -364,6 +522,8 @@ class LakeTable:
                 delta_files.setdefault(b, []).extend(fs)
         properties = dict(snap.properties)
         properties["delta_epochs"] = int(properties.get("delta_epochs", 0)) + 1
+        recent, watermarks = snap.advanced_epoch_state(epoch_id, wm_rows)
+        self._write_manifest_rows(new_version, manifest_rows or [])
         new_snap = Snapshot(
             version=new_version,
             schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
@@ -371,8 +531,48 @@ class LakeTable:
             key_col=snap.key_col,
             version_col=snap.version_col,
             bucket_files=snap.bucket_files,
-            manifests=snap.manifests + (manifest_rows or []),
-            committed_epochs=snap.committed_epochs + ([epoch_id] if epoch_id else []),
+            recent_epochs=recent,
+            watermarks=watermarks,
+            properties=properties,
+            delta_files=delta_files,
+        )
+        self._write_snapshot(new_snap)
+        return new_version
+
+    def commit_clustered_deltas(self, clustered: DataFrame) -> int:
+        """L0→L1 reorganisation: replace the fanout (``"*"``) delta files
+        with per-bucket delta layers.
+
+        Pure delta-data rewrite — base files, manifests, epoch state all
+        unchanged; ``delta_epochs`` becomes the deepest per-bucket stack.
+        This is what keeps fold cost O(hot buckets) instead of O(table):
+        fanout epochs are first clustered (cost O(unfolded batches)), and
+        only buckets whose stacks then exceed the fold threshold pay a
+        base rewrite.
+        """
+        snap = self.snapshot()
+        if "*" not in snap.delta_files:
+            return snap.version
+        new_version = snap.version + 1
+        new_files = self._write_bucket_data(clustered, new_version, pre_bucketed=True)
+        delta_files = {
+            k: list(v) for k, v in snap.delta_files.items() if k != "*"
+        }
+        for b, fs in new_files.items():
+            delta_files.setdefault(b, []).extend(fs)
+        properties = dict(snap.properties)
+        properties["delta_epochs"] = max(
+            (len(fs) for fs in delta_files.values()), default=0
+        )
+        new_snap = Snapshot(
+            version=new_version,
+            schema_json=snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key_col=snap.key_col,
+            version_col=snap.version_col,
+            bucket_files=snap.bucket_files,
+            recent_epochs=snap.recent_epochs,
+            watermarks=snap.watermarks,
             properties=properties,
             delta_files=delta_files,
         )
@@ -387,32 +587,24 @@ class LakeTable:
         return int(snap.properties.get("delta_epochs", 0))
 
     # -- maintenance --------------------------------------------------------
-    def manifest_df(self) -> DataFrame:
+    def manifest_df(self, version: int | None = None) -> DataFrame:
         """Lineage manifests as a DataFrame (epoch, partition, offsets, counts,
-        checksum) — the queryable audit trail the north rule requires."""
-        snap = self.snapshot()
-        schema = T.StructType(
-            [
-                T.StructField("epoch", T.LongType()),
-                T.StructField("source_partition", T.IntegerType()),
-                T.StructField("start_offset", T.LongType()),
-                T.StructField("end_offset", T.LongType()),
-                T.StructField("row_count", T.LongType()),
-                T.StructField("checksum", T.StringType()),
-            ]
-        )
-        rows = [
-            (
-                int(m["epoch"]),
-                int(m["source_partition"]),
-                int(m["start_offset"]),
-                int(m["end_offset"]),
-                int(m["row_count"]),
-                str(m["checksum"]),
-            )
-            for m in snap.manifests
-        ]
-        return self.spark.createDataFrame(rows, schema)
+        checksum) — the queryable audit trail the north rule requires.
+
+        Backed by the spilled parquet manifest files, so this is a
+        distributed scan that works at 10^5 epochs; only files at or below
+        the (requested) snapshot version are visible, which also makes
+        crash-orphaned manifest files (version above the pointer) invisible.
+        """
+        v = self.current_version() if version is None else version
+        paths: list[str] = []
+        if os.path.isdir(self._manifest_dir):
+            for f in sorted(os.listdir(self._manifest_dir)):
+                if f.startswith("m") and f.endswith(".parquet") and int(f[1:9]) <= v:
+                    paths.append(os.path.join(self._manifest_dir, f))
+        if not paths:
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        return self.spark.read.schema(MANIFEST_SCHEMA).parquet(*paths)
 
     def expire_snapshots(self, keep_last: int = 2) -> None:
         """Drop snapshot descriptors and data dirs no current snapshot

@@ -101,6 +101,10 @@ def run_stream(
         # ids are only unique within one checkpoint lineage, and a fresh
         # checkpoint over the same WAL regroups files into batches that
         # reuse ids 0..N (see cdc.apply.content_epoch_key).
+        # wal_offsets: the WAL shipper (write_event_log) range-partitions
+        # by log position, so source offsets are unique and monotone per
+        # partition — replays older than the recent-epoch window are then
+        # skipped via the offset watermarks.
         apply_batch(
             table,
             batch_df,
@@ -108,6 +112,7 @@ def run_stream(
             registry=registry,
             n_salts=n_salts,
             content_keyed=True,
+            wal_offsets=True,
         )
 
     reader = (

@@ -82,7 +82,7 @@ def test_epoch_idempotency(spark, tmp_table_dir):
     v = t.commit_buckets(df, touched_buckets=[0, 1], epoch_id="e1")
     v2 = t.commit_buckets(df, touched_buckets=[0, 1], epoch_id="e1")
     assert v == v2  # second commit is a no-op
-    assert t.snapshot().committed_epochs == ["e1"]
+    assert t.snapshot().recent_epochs == ["e1"]
 
 
 def test_partial_data_write_without_commit_is_invisible(spark, tmp_table_dir):
