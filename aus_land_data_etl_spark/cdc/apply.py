@@ -74,7 +74,10 @@ def manifest_frame(batch: DataFrame, n_buckets: int | None = None) -> DataFrame:
     ]
     if n_buckets is not None:
         aggs.append(F.collect_set(bucket_expr("url", n_buckets)).alias("buckets"))
-    return batch.groupBy("source_partition").agg(*aggs)
+    # The offset namespace is the COMPOSITE (source_file, source_partition):
+    # a late/backfill segment ships as a different file whose offsets restart,
+    # and must not be confused with the main shard's applied prefix.
+    return batch.groupBy("source_partition", "source_file").agg(*aggs)
 
 
 def compute_manifest(
@@ -101,6 +104,7 @@ def compute_manifest(
         manifest.append(
             {
                 "source_partition": int(r["source_partition"]),
+                "source_file": str(r["source_file"]),
                 "start_offset": int(r["start_offset"]),
                 "end_offset": int(r["end_offset"]),
                 "row_count": int(r["row_count"]),
@@ -151,6 +155,7 @@ def content_epoch_key(manifest: list[dict[str, Any]]) -> str:
         sorted(
             [
                 m["source_partition"],
+                m.get("source_file", ""),
                 m["start_offset"],
                 m["end_offset"],
                 m["row_count"],

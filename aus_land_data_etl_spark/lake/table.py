@@ -72,6 +72,7 @@ MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("epoch", T.LongType()),
         T.StructField("source_partition", T.IntegerType()),
+        T.StructField("source_file", T.StringType()),
         T.StructField("start_offset", T.LongType()),
         T.StructField("end_offset", T.LongType()),
         T.StructField("row_count", T.LongType()),
@@ -87,6 +88,13 @@ def _normalize_epoch_ids(epoch_id) -> list[str]:
     if isinstance(epoch_id, str):
         return [epoch_id]
     return [str(e) for e in epoch_id]
+
+
+def _wm_key(m: dict[str, Any]) -> str:
+    """Watermark namespace: (source_file, source_partition) — a late or
+    backfill segment arrives as a different file whose offsets restart and
+    must not alias the main shard's applied prefix."""
+    return f'{m.get("source_file", "")}#{m["source_partition"]}'
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -150,8 +158,7 @@ class Snapshot:
             return True
         if manifest_rows:
             return all(
-                int(m["end_offset"])
-                <= self.watermarks.get(str(m["source_partition"]), -1)
+                int(m["end_offset"]) <= self.watermarks.get(_wm_key(m), -1)
                 for m in manifest_rows
             )
         return False
@@ -169,7 +176,7 @@ class Snapshot:
         recent = recent[-RECENT_EPOCH_WINDOW:]
         wm = dict(self.watermarks)
         for m in manifest_rows or []:
-            p = str(m["source_partition"])
+            p = _wm_key(m)
             cur = wm.get(p, -1)
             start = int(m["start_offset"])
             end = int(m["end_offset"])
@@ -227,6 +234,9 @@ class LakeTable:
                 "epoch": pa.array([int(r["epoch"]) for r in rows], pa.int64()),
                 "source_partition": pa.array(
                     [int(r["source_partition"]) for r in rows], pa.int32()
+                ),
+                "source_file": pa.array(
+                    [str(r.get("source_file", "")) for r in rows], pa.string()
                 ),
                 "start_offset": pa.array(
                     [int(r["start_offset"]) for r in rows], pa.int64()

@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -124,12 +125,77 @@ def _unit(a: Column) -> Column:
     return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
 
 
+def _centroid_matrix(centroids: list[list[float]]):
+    """Row-normalised (n_cells × dim) float64 matrix."""
+    import numpy as np
+
+    m = np.asarray(centroids, dtype="float64")
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def _cell_scores(vs, M):
+    """Cosine score matrix (batch × n_cells) for a pandas Series of vectors
+    against the broadcast unit-centroid matrix."""
+    import numpy as np
+
+    X = np.stack([np.asarray(v, dtype="float64") for v in vs])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return (X / norms) @ M.T
+
+
+def _cell_assign_udf(spark, centroids: list[list[float]]):
+    """argmax_i cosine(vec, centroid_i) as an Arrow-batched pandas UDF.
+
+    The centroid matrix travels as a Spark broadcast variable, NOT as plan
+    literals: a realistic quantizer (4k cells × 768 dims) is ~25 MB of
+    floats — fine as a torrent-broadcast ndarray, fatal as 3M Catalyst
+    expression nodes (the round-1 plan-explosion finding).  Plan size is
+    flat in n_cells; the batch scoring is one numpy matmul (vectorised,
+    ~the cost of the dot products themselves).  Ties take the lowest cell
+    id (np.argmax returns the first maximum).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(_centroid_matrix(centroids))
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        S = _cell_scores(vs, bc.value)
+        return pd.Series(np.argmax(S, axis=1).astype("int32"))
+
+    return assign
+
+
+def _probe_cells_udf(spark, centroids: list[list[float]], nprobe: int):
+    """The nprobe nearest cell ids per query vector (score desc, tie →
+    lowest cell id), same broadcast-matrix mechanics as assignment."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(_centroid_matrix(centroids))
+    np_probe = max(1, nprobe)
+
+    @pandas_udf("array<int>")
+    def probe(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        S = _cell_scores(vs, bc.value)
+        order = np.argsort(-S, axis=1, kind="stable")[:, :np_probe]
+        return pd.Series([row.astype("int32") for row in order])
+
+    return probe
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 8,
-    n_iters: int = 1,
+    n_iters: int = 2,
     seed: int = 42,
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: hash-seeded init + Lloyd iterations.
@@ -137,8 +203,8 @@ def train_ivf_centroids(
     Init picks the ``n_cells`` corpus vectors with the smallest
     ``xxhash64(id, seed)`` (a deterministic uniform sample — no
     ``Math.random`` at plan time, replay-reproducible).  Each Lloyd pass is
-    fully distributed: cell assignment is an argmax over centroid literals
-    (broadcast by the plan), and the per-cell mean reduces via
+    fully distributed: cell assignment is the broadcast-matrix pandas UDF
+    (plan size flat in n_cells), and the per-cell mean reduces via
     ``posexplode → groupBy(cell, pos) → avg`` so only
     ``n_cells × dim`` scalars ever reach the driver.
     """
@@ -152,10 +218,10 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = [list(r["v"]) for r in init]
+    spark = corpus.sparkSession
     for _ in range(n_iters):
-        assigned = vecs.select(
-            "v", _cell_assign(F.col("v"), centroids).alias("cell")
-        )
+        assign = _cell_assign_udf(spark, centroids)
+        assigned = vecs.select("v", assign(F.col("v")).alias("cell"))
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -170,33 +236,6 @@ def train_ivf_centroids(
             for c in range(n_cells)
         ]
     return centroids
-
-
-def _cell_assign(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmax_i cosine(vec, centroid_i) as one Catalyst expression."""
-    u = _unit(vec)
-    scored = [
-        F.struct(
-            _dot(u, _unit(F.array(*[F.lit(x) for x in c]))).alias("s"),
-            F.lit(-i).alias("negc"),  # tie → lowest cell id
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return (-F.array_max(F.array(*scored))["negc"]).cast("int")
-
-
-def _probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
-    """Array of the nprobe nearest cell ids for a query vector."""
-    u = _unit(vec)
-    scored = [
-        F.struct(
-            _dot(u, _unit(F.array(*[F.lit(x) for x in c]))).alias("s"),
-            F.lit(-i).alias("negc"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    ranked = F.reverse(F.array_sort(F.array(*scored)))
-    return F.transform(F.slice(ranked, 1, nprobe), lambda s: (-s["negc"]).cast("int"))
 
 
 def ivf_topk(
@@ -222,16 +261,17 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             corpus, id_col, vec_col, n_cells=n_cells, seed=seed
         )
+    spark = corpus.sparkSession
+    assign = _cell_assign_udf(spark, centroids)
+    probe = _probe_cells_udf(spark, centroids, nprobe)
     c = corpus.select(
         F.col(id_col).alias("neighbour_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cell", _cell_assign(F.col("cv"), centroids))
+    ).withColumn("cell", assign(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn(
-        "cell", F.explode(_probe_cells(F.col("qv"), centroids, nprobe))
-    )
+    ).withColumn("cell", F.explode(probe(F.col("qv"))))
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbour_id"))

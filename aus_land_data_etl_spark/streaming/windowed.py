@@ -128,52 +128,105 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _lww_state_fn(key, pdf_iter, state: GroupState):
-    """Fold a url's micro-batch rows into (max warc_ts, event_id) state;
-    emit one changelog row iff the latest version advanced.
+def _parse_duration_ms(s: str) -> int:
+    """'30 days' / '2 hours' / '15 minutes' / '10 seconds' → milliseconds."""
+    n, unit = s.split()
+    mult = {
+        "day": 86_400_000,
+        "hour": 3_600_000,
+        "minute": 60_000,
+        "second": 1_000,
+        "millisecond": 1,
+    }
+    return int(float(n) * mult[unit.rstrip("s")])
 
-    Vectorized: each Arrow batch is reduced with pandas idxmax — no
-    per-row Python loop (input_hint).  The total order is
-    (warc_ts, event_id), matching lake.merge LWW exactly.
+
+def _lww_state_fn_factory(ttl_ms: int | None):
+    """Build the per-key fold.  With a TTL, keys idle (no version advance)
+    for ``ttl`` past the event-time watermark are evicted — state is then
+    O(keys active within the TTL horizon), not O(distinct urls ever seen).
+    After eviction a sufficiently-late stale delivery could re-emit as a
+    fresh latest, but such events sit beyond the combined
+    watermark + TTL lateness contract (same trade Flink state TTL makes).
     """
-    best_ts, best_id, best_op = None, None, None
-    for pdf in pdf_iter:
-        if len(pdf) == 0:
-            continue
-        # lexicographic max over (warc_ts, event_id), vectorized
-        pdf = pdf.sort_values(["warc_ts", "event_id"], kind="mergesort")
-        row = pdf.iloc[-1]
-        ts_us = int(row["warc_ts"].value // 1_000)  # ns → us
-        cand = (ts_us, str(row["event_id"]))
-        if best_ts is None or cand > (best_ts, best_id):
-            best_ts, best_id, best_op = cand[0], cand[1], str(row["op"])
-    if best_ts is None:
-        return
-    if state.exists:
-        (cur_ts, cur_id, _cur_op) = state.get
-        if (best_ts, best_id) <= (cur_ts, cur_id):
-            return  # batch contained only stale versions — no emit
-    state.update((best_ts, best_id, best_op))
-    yield pd.DataFrame(
-        {
-            "url": [key[0]],
-            "warc_ts": [pd.Timestamp(best_ts, unit="us")],
-            "event_id": [best_id],
-            "op": [best_op],
-        }
-    )
+
+    def _lww_state_fn(key, pdf_iter, state: GroupState):
+        """Fold a url's micro-batch rows into (max warc_ts, event_id)
+        state; emit one changelog row iff the latest version advanced.
+
+        Vectorized: each Arrow batch is reduced with a pandas sort — no
+        per-row Python loop (input_hint).  The total order is
+        (warc_ts, event_id), matching lake.merge LWW exactly.
+        """
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        best_ts, best_id, best_op = None, None, None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            # lexicographic max over (warc_ts, event_id), vectorized
+            pdf = pdf.sort_values(["warc_ts", "event_id"], kind="mergesort")
+            row = pdf.iloc[-1]
+            ts_us = int(row["warc_ts"].value // 1_000)  # ns → us
+            cand = (ts_us, str(row["event_id"]))
+            if best_ts is None or cand > (best_ts, best_id):
+                best_ts, best_id, best_op = cand[0], cand[1], str(row["op"])
+        if best_ts is None:
+            return
+        if state.exists:
+            (cur_ts, cur_id, _cur_op) = state.get
+            if (best_ts, best_id) <= (cur_ts, cur_id):
+                return  # batch contained only stale versions — no emit
+        state.update((best_ts, best_id, best_op))
+        if ttl_ms is not None:
+            # must exceed the current watermark; anchor on the later of
+            # (watermark, this key's event time)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(wm_ms, best_ts // 1_000) + ttl_ms)
+        yield pd.DataFrame(
+            {
+                "url": [key[0]],
+                "warc_ts": [pd.Timestamp(best_ts, unit="us")],
+                "event_id": [best_id],
+                "op": [best_op],
+            }
+        )
+
+    return _lww_state_fn
 
 
-def latest_per_key_stateful(events: DataFrame) -> DataFrame:
+def latest_per_key_stateful(
+    events: DataFrame,
+    state_ttl: str | None = None,
+    ts_col: str = "warc_ts",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
     """Streaming changelog of LWW winners per url via
     ``applyInPandasWithState`` (the brief's custom-stateful-operator
     surface).  Emits (url, warc_ts, event_id, op) whenever a url's
     latest version advances; suppresses stale/duplicate deliveries.
+
+    ``state_ttl`` (e.g. ``"30 days"``) bounds per-key state via an
+    event-time timeout: a key idle for the TTL past the watermark is
+    evicted, making state O(active keys), the contract a 10^10-event
+    stream needs.  ``state_ttl=None`` keeps every key forever — exact
+    changelog semantics for bounded key universes.
     """
+    if state_ttl is None:
+        return events.groupBy("url").applyInPandasWithState(
+            _lww_state_fn_factory(None),
+            outputStructType=CHANGELOG_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark_delay)
     return events.groupBy("url").applyInPandasWithState(
-        _lww_state_fn,
+        _lww_state_fn_factory(_parse_duration_ms(state_ttl)),
         outputStructType=CHANGELOG_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

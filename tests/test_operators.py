@@ -180,6 +180,26 @@ def test_ivf_partial_probe_recall(spark):
     assert len(e & a) / len(e) >= 0.8
 
 
+def test_ivf_plan_size_flat_in_n_cells(spark):
+    """Centroids travel as a broadcast variable, not plan literals: the
+    physical plan must not grow with the quantizer size (the round-1
+    plan-explosion finding at realistic n_cells)."""
+    import random
+
+    df = _clustered_vectors(spark)
+    q = df.filter(F.col("vec_id") < 5)
+    rng = random.Random(7)
+    dim = 8
+
+    def plan_len(n_cells):
+        cents = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_cells)]
+        plan = ivf_topk(df, q, k=3, n_cells=n_cells, nprobe=2, centroids=cents)
+        return len(plan._jdf.queryExecution().executedPlan().toString())
+
+    small, large = plan_len(8), plan_len(512)
+    assert large < small * 1.2, f"plan grew with n_cells: {small} -> {large}"
+
+
 def test_cosine_neardup_pairs_thresholds(spark):
     """Same-cluster pairs sit near cosine 1; cross-cluster near 0 — the
     0.9 threshold must keep exactly the same-cluster pairs."""

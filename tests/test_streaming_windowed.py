@@ -183,3 +183,51 @@ def test_latest_per_key_stateful_emits_only_advances(spark, dirs):
         ("u1", "a2", _ts(11), "update"),
         ("u3", "c1", _ts(10), "insert"),
     ]
+
+
+def test_latest_per_key_stateful_ttl_evicts_idle_keys(spark, dirs):
+    """With state_ttl, a key idle past watermark+TTL is evicted — state
+    rows are O(active keys), not O(distinct urls ever seen)."""
+    tr = lambda df: latest_per_key_stateful(
+        df, state_ttl="2 hours", watermark_delay="1 hour"
+    )
+
+    def drain_with_state(name):
+        out = _Rows()
+        reader = spark.readStream.schema(ROLLUP_SCHEMA).parquet(dirs["wal"])
+        q = (
+            tr(reader)
+            .writeStream.foreachBatch(lambda df, _eid: out.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = q.lastProgress
+        n_state = (
+            prog["stateOperators"][0]["numRowsTotal"]
+            if prog and prog.get("stateOperators")
+            else None
+        )
+        return out, n_state
+
+    _write_wal(
+        spark,
+        dirs["wal"],
+        [("a1", "u1", "insert", _ts(10)), ("b1", "u2", "insert", _ts(10))],
+    )
+    got1, n1 = drain_with_state("ttl_run1")
+    assert {r["url"] for r in got1.collect()} == {"u1", "u2"}
+    assert n1 == 2
+
+    # watermark pusher: after this batch the watermark (39h) passes
+    # u1/u2's timeout (10h + 2h); the timeout fires on the NEXT batch
+    _write_wal(spark, dirs["wal"], [("c1", "u3", "insert", _ts(40))])
+    drain_with_state("ttl_run2")
+
+    _write_wal(spark, dirs["wal"], [("d1", "u4", "insert", _ts(41))])
+    got3, n3 = drain_with_state("ttl_run3")
+    assert {r["url"] for r in got3.collect()} == {"u4"}
+    # u1/u2 evicted; only the keys inside the TTL horizon remain
+    assert n3 == 2
