@@ -1141,6 +1141,73 @@ GROUP BY 1
 """
 
 
+def q_text_parcel_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed parcel-list expansion (the reference's hardest
+    vectorization — parcel_parser.py:17-175): descriptions synthesised
+    deterministically from the ``part`` table over five grammar templates
+    (simple / PT / compressed list / partial terminal + residue / residue
+    tail), expanded window-function-style into (folio, part) rows.  The
+    oracle derives the expected rows from the template arithmetic — an
+    independent ground-truth path, no parser on the oracle side."""
+    from aus_land_data_etl_spark.operators.parcels import expand_parcels
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"),
+        F.pmod("p_partkey", F.lit(5)).alias("tpl"),
+        F.pmod("p_partkey", F.lit(40)).cast("string").alias("a"),
+        (F.pmod("p_partkey", F.lit(40)) + 1).cast("string").alias("b"),
+        (F.pmod("p_partkey", F.lit(40)) + 2).cast("string").alias("c"),
+        (F.pmod("p_partkey", F.lit(997)) + 1000).cast("string").alias("plan"),
+    )
+    desc = (
+        F.when(F.col("tpl") == 0, F.concat("a", F.lit("/"), "plan"))
+        .when(F.col("tpl") == 1, F.concat(F.lit("PT "), "a", F.lit("/"), "plan"))
+        .when(
+            F.col("tpl") == 2,
+            F.concat("a", F.lit(", PT "), "b", F.lit(", "), "c", F.lit("/"), "plan"),
+        )
+        .when(
+            F.col("tpl") == 3,
+            F.concat(
+                "a", F.lit(", "), "b", F.lit(", /"), "plan",
+                F.lit(" Licence "), F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                "a", F.lit("/"), "plan",
+                F.lit(" rubbish tail "), F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    docs = p.select("doc_id", desc.alias("desc"))
+    return expand_parcels(docs).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "folio_id", "part"
+    )
+
+
+ORACLE_PARCEL_EXPAND = """
+WITH src AS (
+  SELECT p_partkey AS doc_id,
+         p_partkey % 5 AS tpl,
+         CAST(p_partkey % 40 AS VARCHAR) AS a,
+         CAST(p_partkey % 40 + 1 AS VARCHAR) AS b,
+         CAST(p_partkey % 40 + 2 AS VARCHAR) AS c,
+         CAST(1000 + p_partkey % 997 AS VARCHAR) AS plan
+  FROM part
+)
+SELECT doc_id, CAST(0 AS INT) AS pos, a || '/' || plan AS folio_id, FALSE AS part
+FROM src WHERE tpl = 0
+UNION ALL SELECT doc_id, 1, a || '/' || plan, TRUE  FROM src WHERE tpl = 1
+UNION ALL SELECT doc_id, 0, a || '/' || plan, FALSE FROM src WHERE tpl = 2
+UNION ALL SELECT doc_id, 2, b || '/' || plan, TRUE  FROM src WHERE tpl = 2
+UNION ALL SELECT doc_id, 3, c || '/' || plan, FALSE FROM src WHERE tpl = 2
+UNION ALL SELECT doc_id, 0, a || '/' || plan, FALSE FROM src WHERE tpl = 3
+UNION ALL SELECT doc_id, 1, b || '/' || plan, FALSE FROM src WHERE tpl = 3
+UNION ALL SELECT doc_id, 0, a || '/' || plan, FALSE FROM src WHERE tpl = 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1182,6 +1249,7 @@ QUERIES: dict[str, QueryFn] = {
     "props_json": q_props_json,
     "rollup_pricing": q_rollup_pricing,
     "text_grammar_extract": q_text_grammar_extract,
+    "text_parcel_expand": q_text_parcel_expand,
     "dim_upsert": q_dim_upsert,
     "cdc_compacted_converge": q_cdc_compacted_converge,
 }
@@ -1219,6 +1287,7 @@ ORACLES: dict[str, str] = {
     "props_json": ORACLE_PROPS_JSON,
     "rollup_pricing": ORACLE_ROLLUP,
     "text_grammar_extract": ORACLE_TEXT_GRAMMAR,
+    "text_parcel_expand": ORACLE_PARCEL_EXPAND,
     "dim_upsert": ORACLE_DIM_UPSERT,
     "cdc_compacted_converge": ORACLE_CDC_CONVERGE,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
