@@ -14,6 +14,7 @@ SQL-expressible (LWW final state is).
 
 from __future__ import annotations
 
+import datetime as _datetime
 import os
 import shutil
 import tempfile
@@ -1186,6 +1187,77 @@ def q_text_parcel_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dat_scan_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + §1.3 depth: versioned positional .DAT factories end-to-end —
+    synthesise a 2012-format sales file from the supplier table (text
+    writer, no driver loop), scan it with the multi-record S1 source,
+    and project B rows onto the typed superset schema (variant probe,
+    try-cast readers, zone standard).  Reference:
+    file_format/parse.py:136-166, factories.py:35-265."""
+    from aus_land_data_etl_spark.sources.dat_factories import parse_dat_records
+    from aus_land_data_etl_spark.sources.readers import scan_delimited_records
+
+    sup = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    line = F.concat(
+        F.lit("B;"),
+        F.pmod(k, F.lit(200)).cast("string"), F.lit(";"),
+        k.cast("string"), F.lit(";1;20240101 00:00;;;"),
+        F.lit(";S STREET;CITY;"),
+        (F.pmod(k, F.lit(999)) + 2000).cast("string"), F.lit(";"),
+        (F.pmod(k, F.lit(50)) * 10).cast("string"), F.lit(";M;20240110;20240215;"),
+        (k * 37 + 1000).cast("string"),
+        F.lit(";R1;3;HOME;;CC;;0;DN"),
+        k.cast("string"), F.lit(";"),
+    )
+    d = tempfile.mkdtemp(prefix="dat_q_")
+    try:
+        sup.select(line.alias("value")).write.mode("overwrite").text(
+            os.path.join(d, "sales_01042012.DAT")
+        )
+        recs = scan_delimited_records(spark, os.path.join(d, "sales_01042012.DAT"))
+        frames = parse_dat_records(
+            recs, download_date=_datetime.datetime(2012, 4, 1),
+            published_year=2012,
+        )
+        out = frames["B"].select(
+            "property_id",
+            "district_code",
+            "sale_counter",
+            "date_provided",
+            "street_name",
+            "postcode",
+            "area",
+            "contract_date",
+            "settlement_date",
+            "purchase_price",
+            "zone_code",
+            "zone_standard",
+            "dealing_number",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_DAT_SCAN = """
+SELECT s_suppkey AS property_id,
+       CAST(s_suppkey % 200 AS INT) AS district_code,
+       CAST(1 AS INT) AS sale_counter,
+       TIMESTAMP '2024-01-01 00:00:00' AS date_provided,
+       'S STREET' AS street_name,
+       CAST(2000 + s_suppkey % 999 AS VARCHAR) AS postcode,
+       CAST(s_suppkey % 50 * 10 AS DOUBLE) AS area,
+       DATE '2024-01-10' AS contract_date,
+       DATE '2024-02-15' AS settlement_date,
+       CAST(1000 + s_suppkey * 37 AS DOUBLE) AS purchase_price,
+       'R1' AS zone_code,
+       'ep&a_2006' AS zone_standard,
+       'DN' || CAST(s_suppkey AS VARCHAR) AS dealing_number
+FROM supplier
+"""
+
+
 ORACLE_PARCEL_EXPAND = """
 WITH src AS (
   SELECT p_partkey AS doc_id,
@@ -1250,6 +1322,7 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_pricing": q_rollup_pricing,
     "text_grammar_extract": q_text_grammar_extract,
     "text_parcel_expand": q_text_parcel_expand,
+    "dat_scan_typed": q_dat_scan_typed,
     "dim_upsert": q_dim_upsert,
     "cdc_compacted_converge": q_cdc_compacted_converge,
 }
@@ -1288,6 +1361,7 @@ ORACLES: dict[str, str] = {
     "rollup_pricing": ORACLE_ROLLUP,
     "text_grammar_extract": ORACLE_TEXT_GRAMMAR,
     "text_parcel_expand": ORACLE_PARCEL_EXPAND,
+    "dat_scan_typed": ORACLE_DAT_SCAN,
     "dim_upsert": ORACLE_DIM_UPSERT,
     "cdc_compacted_converge": ORACLE_CDC_CONVERGE,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:

@@ -1,0 +1,212 @@
+"""Golden tests for the versioned positional .DAT factories (S1 depth).
+
+Reference test style: full parser output pinned per fixture file across
+vintages (file_format/tests/test_parse_e2e.py:48-79 + committed
+snapshots).  Fixture rows here are freshly authored in each format's
+layout; the 2001-07 file mixes BOTH C/D variants in one file to exercise
+the in-file variant probe.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from aus_land_data_etl_spark.sources.dat_factories import (
+    parse_dat_records,
+    select_vintage,
+)
+from aus_land_data_etl_spark.sources.readers import scan_delimited_records
+
+FIXTURES = {
+    "sales_1990.DAT": "\n".join(
+        [
+            "A;;VALUSER;20150101 09:30;;",
+            "B;010;VALSRC;0099;112233;;;MAIN ST;OLDTOWN;2300;05/06/1990;"
+            "82500;LOT 1 DP 12345.;1500;M;;;R;;;;",
+            "Z;2;1;",
+        ]
+    ),
+    "sales_2001_07.DAT": "\n".join(
+        [
+            "A;101;20010715 08:45;TESTER;",
+            "B;101;445566;1;20010715 08:45;;;7;STATION ST;NEWVILLE;2410;;;"
+            "20010301;20010420;156000;A;R;;;ZQ;;;5550001;",
+            "C;101;445566;1;20010715 08:45;5/112233;",
+            "C;101;1;20010715 08:45;PT 2/334455;",
+            "D;101;445566;1;20010715 08:45;P;;;;;;",
+            "D;101;1;20010715 08:45;V;;;;;;",
+            "Z;7;1;2;2;",
+        ]
+    ),
+    "sales_2012.DAT": "\n".join(
+        [
+            "A;RTSALEDATA;102;20120401 02:00;VALNET;",
+            "B;102;778899;1;20120401 02:00;HILLVIEW;;;RIDGE RD;HIGHTON;2500;"
+            "12.5;H;20120210;20120315;420000;RU1;3;FARM;;AAA;;0;AB123456;",
+            "C;102;778899;1;20120401 02:00;3/556677;",
+            "D;102;778899;1;20120401 02:00;P;;;;;;",
+            "Z;5;1;1;1;",
+        ]
+    ),
+    "sales_2021.DAT": "\n".join(
+        [
+            "A;RTSALEDATA;103;20210823 01:10;VALNET;",
+            "B;103;991122;1;20210823 01:10;;;;QUARRY LANE;WESTFIELD;2600;"
+            "88.0;H;20210601;20210720;910000;C3;3;RESIDENCE;;BBB;;0;CD987654;",
+            "D;103;991122;1;20210823 01:10;V;;;;;;N;",
+            "Z;4;1;0;1;",
+        ]
+    ),
+}
+
+META = {
+    "sales_1990.DAT": (None, 1990, "1990"),
+    "sales_2001_07.DAT": (dt.datetime(2001, 7, 20), 2001, "2001_07"),
+    "sales_2012.DAT": (dt.datetime(2012, 4, 1), 2012, "2012"),
+    "sales_2021.DAT": (dt.datetime(2021, 8, 23), 2021, "2021"),
+}
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dat"))
+    out = {}
+    for name, content in FIXTURES.items():
+        sub = os.path.join(d, name.replace(".DAT", ""))
+        os.makedirs(sub)
+        with open(os.path.join(sub, name), "w") as f:
+            f.write(content + "\n")
+        download, year, _ = META[name]
+        recs = scan_delimited_records(spark, sub)
+        frames = parse_dat_records(recs, download, year)
+        out[name] = {
+            k: [r.asDict() for r in v.orderBy("position").collect()]
+            for k, v in frames.items()
+        }
+    return out
+
+
+def test_vintage_dispatch_table():
+    assert select_vintage(None, 1990) == "1990"
+    assert select_vintage(None, 2001) == "1990"
+    assert select_vintage(dt.datetime(2001, 7, 20), 2001) == "2001_07"
+    assert select_vintage(dt.datetime(2001, 8, 22), 2001) == "2002"
+    assert select_vintage(dt.datetime(2004, 9, 16), 2004) == "2002"
+    assert select_vintage(dt.datetime(2012, 3, 12), 2012) == "2002"
+    assert select_vintage(dt.datetime(2012, 3, 13), 2012) == "2012"
+    assert select_vintage(dt.datetime(2021, 8, 23), 2021) == "2021"
+    assert select_vintage(dt.datetime(2021, 8, 24), 2021) == "2012"
+    with pytest.raises(TypeError):
+        select_vintage(None, 2005)
+
+
+def _b(parsed, name):
+    rows = parsed[name]["B"]
+    assert all(not r["malformed"] for r in rows)
+    return rows
+
+
+def test_golden_1990(parsed):
+    name = "sales_1990.DAT"
+    (a,) = parsed[name]["A"]
+    assert a["submitting_user_id"] == "VALUSER"
+    assert a["date_provided"] == dt.datetime(2015, 1, 1, 9, 30)
+    assert a["file_type"] is None and a["district_code"] is None
+    (b,) = _b(parsed, name)
+    assert {
+        "district_code": 10, "source": "VALSRC", "valuation_number": "0099",
+        "property_id": 112233, "unit_number": None, "house_number": None,
+        "street_name": "MAIN ST", "locality_name": "OLDTOWN",
+        "postcode": "2300", "contract_date": dt.date(1990, 6, 5),
+        "purchase_price": 82500.0, "land_description": "LOT 1 DP 12345.",
+        "area": 1500.0, "area_type": "M", "dimensions": None,
+        "comp_code": None, "zone_code": "R",
+        "zone_standard": "legacy_vg_2011", "sale_counter": None,
+        "property_name": None, "settlement_date": None,
+        "vintage": "1990", "year_of_sale": 1990,
+    }.items() <= b.items()
+    # C/D rows are not allowed in the 1990 format
+    assert parsed[name]["C"] == [] and parsed[name]["D"] == []
+    (z,) = parsed[name]["Z"]
+    assert (
+        z["total_records"], z["total_sale_property_details"],
+        z["total_sale_property_legal_descriptions"],
+        z["total_sale_participants"],
+    ) == (2, 1, 0, 0)
+
+
+def test_golden_2001_07_variant_probe(parsed):
+    """One file, both C and D layouts: the in-file variant probe must
+    route each row to the right positional mapping."""
+    name = "sales_2001_07.DAT"
+    cs = parsed[name]["C"]
+    assert [(c["variant"], c["property_id"], c["sale_counter"],
+             c["property_description"]) for c in cs] == [
+        (None, 445566, 1, "5/112233"),
+        ("missing_property_id", None, 1, "PT 2/334455"),
+    ]
+    assert all(
+        c["date_provided"] == dt.datetime(2001, 7, 15, 8, 45) for c in cs
+    )
+    ds = parsed[name]["D"]
+    assert [(x["variant"], x["property_id"], x["participant"]) for x in ds] == [
+        (None, 445566, "P"),
+        ("missing_property_id", None, "V"),
+    ]
+    (b,) = _b(parsed, name)
+    assert b["zone_code"] == "A" and b["zone_standard"] == "legacy_vg_2011"
+    assert b["dealing_number"] == "5550001"
+    assert b["contract_date"] == dt.date(2001, 3, 1)
+    assert b["purchase_price"] == 156000.0
+    # 1990-only columns are NULL in this vintage (superset schema)
+    assert b["source"] is None and b["land_description"] is None
+
+
+def test_golden_2012(parsed):
+    name = "sales_2012.DAT"
+    (a,) = parsed[name]["A"]
+    assert a["file_type"] == "RTSALEDATA" and a["district_code"] == 102
+    (b,) = _b(parsed, name)
+    assert b["property_name"] == "HILLVIEW"
+    assert b["zone_code"] == "RU1" and b["zone_standard"] == "ep&a_2006"
+    assert b["area"] == 12.5 and b["area_type"] == "H"
+    assert b["settlement_date"] == dt.date(2012, 3, 15)
+    assert b["nature_of_property"] == "3"
+    assert b["strata_lot_number"] is None and b["interest_of_sale"] == 0
+    (c,) = parsed[name]["C"]
+    assert c["property_description"] == "3/556677"
+
+
+def test_golden_2021_wide_d(parsed):
+    name = "sales_2021.DAT"
+    (d,) = parsed[name]["D"]
+    assert d["participant"] == "V" and not d["malformed"]
+    (b,) = _b(parsed, name)
+    assert b["zone_code"] == "C3" and b["dealing_number"] == "CD987654"
+
+
+def test_parent_linkage(parsed):
+    """B→A, C→B, D→C positions carry the reference's record nesting."""
+    name = "sales_2012.DAT"
+    (a,) = parsed[name]["A"]
+    (b,) = parsed[name]["B"]
+    (c,) = parsed[name]["C"]
+    (d,) = parsed[name]["D"]
+    (z,) = parsed[name]["Z"]
+    assert b["parent_position"] == a["position"]
+    assert c["parent_position"] == b["position"]
+    assert d["parent_position"] == c["position"]
+    assert z["parent_position"] == a["position"]
+
+
+def test_malformed_rows_flagged(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dat_bad"))
+    with open(os.path.join(d, "bad_01012012.DAT"), "w") as f:
+        f.write("A;RTSALEDATA;102;20120401 02:00;VALNET;\nB;102;oops;\n")
+    recs = scan_delimited_records(spark, d)
+    frames = parse_dat_records(recs, dt.datetime(2012, 4, 1), 2012)
+    (b,) = frames["B"].collect()
+    assert b["malformed"] and b["variant"] is None
