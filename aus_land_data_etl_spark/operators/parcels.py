@@ -161,15 +161,13 @@ def expand_parcels(
             ),
         )
     )
-    return (
-        live.filter(folio.isNotNull())
-        .select(
-            F.col(id_col),
-            F.col("pos"),
-            F.replace(folio, F.lit("//"), F.lit("/")).alias("folio_id"),
-            part.alias("part"),
-        )
-        .orderBy(id_col, "pos")
+    # no orderBy here: a global sort is a second (range) shuffle the
+    # operator doesn't need — reading order is recoverable from pos
+    return live.filter(folio.isNotNull()).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.replace(folio, F.lit("//"), F.lit("/")).alias("folio_id"),
+        part.alias("part"),
     )
 
 

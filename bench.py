@@ -40,6 +40,7 @@ HEADLINE_QUERIES = [
     "emb_topk_bruteforce",
     "t_windowed_rollup",
     "sessionize_events",
+    "text_parcel_expand",
 ]
 
 

@@ -40,6 +40,7 @@ PLAN_QUERIES = [
     "rollup_pricing",           # hierarchical ROLLUP (expand + agg)
     "props_json",               # JSON payload projection
     "text_grammar_extract",     # structured regexp grammar
+    "text_parcel_expand",       # parcel-list window-function expansion
 ]
 
 

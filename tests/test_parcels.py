@@ -141,7 +141,9 @@ def parsed(spark):
     rows = [(i, desc) for i, (desc, _, _) in enumerate(CASES)]
     df = spark.createDataFrame(rows, "doc_id long, desc string")
     folios = {}
-    for r in expand_parcels(df).collect():
+    for r in sorted(
+        expand_parcels(df).collect(), key=lambda r: (r["doc_id"], r["pos"])
+    ):
         folios.setdefault(r["doc_id"], []).append((r["folio_id"], r["part"]))
     residues = {
         r["doc_id"]: r["residue"] for r in parcel_residue(df).collect()
