@@ -90,7 +90,8 @@ def main(argv: list[str] | None = None) -> None:
     table = LakeTable(spark, args.table)
     if args.mode == "compact":
         v = compact(table)
-        print(json.dumps({"mode": "compact", "snapshot": v}))
+        merged = table.compact_manifests()
+        print(json.dumps({"mode": "compact", "snapshot": v, "manifests_merged": merged}))
         return
 
     if args.mode == "derive":

@@ -614,7 +614,47 @@ class LakeTable:
                     paths.append(os.path.join(self._manifest_dir, f))
         if not paths:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
-        return self.spark.read.schema(MANIFEST_SCHEMA).parquet(*paths)
+        # exact-row dedupe: duplicates can only arise from a crash between
+        # compact_manifests' rename and its cleanup of merged inputs
+        return (
+            self.spark.read.schema(MANIFEST_SCHEMA).parquet(*paths).dropDuplicates()
+        )
+
+    def compact_manifests(self) -> int:
+        """Merge every manifest file visible at the current version into
+        one (Iceberg's rewrite_manifests analog) — bounds the
+        ``_manifests/`` listing at O(1) after maintenance instead of
+        O(commits).  Returns the number of files merged away.
+
+        Crash-safe: the merged file replaces ``m<current>.parquet``
+        atomically first; if cleanup of the inputs is interrupted, the
+        duplicated rows are removed by ``manifest_df``'s exact-row dedupe.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        v = self.current_version()
+        if not os.path.isdir(self._manifest_dir):
+            return 0
+        files = [
+            f
+            for f in sorted(os.listdir(self._manifest_dir))
+            if f.startswith("m") and f.endswith(".parquet") and int(f[1:9]) <= v
+        ]
+        if len(files) <= 1:
+            return 0
+        merged = pa.concat_tables(
+            [pq.read_table(os.path.join(self._manifest_dir, f)) for f in files]
+        )
+        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(merged, tmp)
+        target = f"m{v:08d}.parquet"
+        os.replace(tmp, os.path.join(self._manifest_dir, target))
+        for f in files:
+            if f != target:
+                os.remove(os.path.join(self._manifest_dir, f))
+        return len(files) - 1
 
     def expire_snapshots(self, keep_last: int = 2) -> None:
         """Drop snapshot descriptors and data dirs no current snapshot

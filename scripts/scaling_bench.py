@@ -30,7 +30,7 @@ from bench import bench_cdc
 
 cores = {cores}
 spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=cores)
-sec, n = bench_cdc(spark, {n_events}, n_batches={n_batches}, n_buckets={n_buckets})
+sec, n, _trials = bench_cdc(spark, {n_events}, n_batches={n_batches}, n_buckets={n_buckets}, trials=1)
 print(json.dumps({{"cores": cores, "sec": round(sec, 3), "events": n,
                    "events_per_sec": round(n / sec, 1)}}))
 """

@@ -108,3 +108,27 @@ def test_descriptor_o1_in_epochs_and_watermark_replay(
         os.path.join(table._manifest_dir, "m99999999.parquet"),
     )
     assert m.count() == table.manifest_df().count()
+
+
+def test_compact_manifests_merges_to_one_file(spark, tmp_table_dir):
+    """Manifest compaction bounds the _manifests listing while preserving
+    every lineage row (rewrite_manifests analog)."""
+    events = generate_events(spark, 400, seed=31).localCheckpoint(eager=True)
+    table = create_pages_table(spark, tmp_table_dir, n_buckets=4)
+    for i in range(4):
+        batch = events.filter(
+            (F.col("source_pos") >= i * 100) & (F.col("source_pos") < (i + 1) * 100)
+        )
+        apply_batch(table, batch, epoch=i, compact_depth=100)
+    before = sorted(
+        tuple(r) for r in table.manifest_df().collect()
+    )
+    n_files = len(os.listdir(table._manifest_dir))
+    assert n_files == 4
+    merged = table.compact_manifests()
+    assert merged == 3
+    assert len(os.listdir(table._manifest_dir)) == 1
+    after = sorted(tuple(r) for r in table.manifest_df().collect())
+    assert after == before
+    # idempotent / no-op on a single file
+    assert table.compact_manifests() == 0
