@@ -694,3 +694,42 @@ class LakeTable:
         for f in os.listdir(self._snap_dir):
             if f.startswith("v") and int(f[1:9]) not in keep:
                 os.remove(os.path.join(self._snap_dir, f))
+
+    def history(self) -> DataFrame:
+        """Retained snapshots as a metadata DataFrame (Iceberg's
+        ``.snapshots`` / ``.history`` metadata tables): one row per
+        descriptor still on disk — version, file/delta counts, schema
+        width, watermark count, committed-epoch window size.
+
+        Driver-side JSON reads, but bounded: ``expire_snapshots`` caps
+        the retained descriptor count, so this never scales with total
+        commit history.
+        """
+        rows = []
+        for f in sorted(os.listdir(self._snap_dir)):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            s = self.snapshot(int(f[1:9]))
+            rows.append(
+                {
+                    "version": s.version,
+                    "n_buckets": s.n_buckets,
+                    "n_base_files": sum(len(v) for v in s.bucket_files.values()),
+                    "n_delta_files": sum(len(v) for v in s.delta_files.values()),
+                    "n_fanout_files": len(s.delta_files.get("*", [])),
+                    "n_columns": len(s.schema.fields),
+                    "n_watermarks": len(s.watermarks),
+                    "n_recent_epochs": len(s.recent_epochs),
+                }
+            )
+        schema = T.StructType(
+            [
+                T.StructField(n, T.IntegerType())
+                for n in (
+                    "version", "n_buckets", "n_base_files", "n_delta_files",
+                    "n_fanout_files", "n_columns", "n_watermarks",
+                    "n_recent_epochs",
+                )
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)

@@ -1284,6 +1284,85 @@ UNION ALL SELECT doc_id, 0, a || '/' || plan, FALSE FROM src WHERE tpl = 4
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog read (CDC-out): apply the events stream as 4
+    micro-batches, snapshot after batch 2, and emit the net row-level diff
+    (insert/update/delete + image) between that snapshot and the final one
+    — Iceberg's net-changes incremental read over this repo's lake."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.changelog import read_changes
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_cl_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        for i in range(3):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            apply_batch(table, batch, epoch=i)
+        v_from = table.current_version()
+        apply_batch(
+            table,
+            changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == 3),
+            epoch=3,
+        )
+        out = read_changes(table, v_from, table.current_version()).select(
+            F.col("change_type"),
+            F.col("url"),
+            F.col("warc_ts"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("text"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# The oracle rebuilds both LWW states in SQL (cutoff = first three
+# batches vs all events) and full-outer-joins them; winner identity is
+# (warc_ts, event_id), so an unchanged winner emits no row and a key
+# whose winner at the cutoff was a tombstone ('error') counts as absent.
+ORACLE_LAKE_CHANGELOG = """
+WITH ranked_a AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+  WHERE event_id % 4 <> 3
+),
+a AS (
+  SELECT url, warc_ts, event_id,
+         event_type || ' value=' || CAST(value AS VARCHAR) AS text
+  FROM ranked_a WHERE rn = 1 AND event_type <> 'error'
+),
+ranked_b AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+),
+b AS (
+  SELECT url, warc_ts, event_id,
+         event_type || ' value=' || CAST(value AS VARCHAR) AS text
+  FROM ranked_b WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT
+  CASE WHEN a.url IS NULL THEN 'insert'
+       WHEN b.url IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type,
+  COALESCE(b.url, a.url) AS url,
+  CASE WHEN b.url IS NOT NULL THEN b.warc_ts ELSE a.warc_ts END AS warc_ts,
+  CASE WHEN b.url IS NOT NULL THEN b.event_id ELSE a.event_id END AS event_id,
+  CASE WHEN b.url IS NOT NULL THEN b.text ELSE a.text END AS text
+FROM a FULL OUTER JOIN b ON a.url = b.url
+WHERE a.url IS NULL OR b.url IS NULL
+   OR a.event_id <> b.event_id OR a.warc_ts <> b.warc_ts
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "cdc_engine_converge": q_cdc_engine_converge,
     "cdc_stream_pipeline": q_cdc_stream_pipeline,
@@ -1325,6 +1404,7 @@ QUERIES: dict[str, QueryFn] = {
     "dat_scan_typed": q_dat_scan_typed,
     "dim_upsert": q_dim_upsert,
     "cdc_compacted_converge": q_cdc_compacted_converge,
+    "lake_changelog": q_lake_changelog,
 }
 
 ORACLES: dict[str, str] = {
@@ -1364,6 +1444,7 @@ ORACLES: dict[str, str] = {
     "dat_scan_typed": ORACLE_DAT_SCAN,
     "dim_upsert": ORACLE_DIM_UPSERT,
     "cdc_compacted_converge": ORACLE_CDC_CONVERGE,
+    "lake_changelog": ORACLE_LAKE_CHANGELOG,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above
     # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are

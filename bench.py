@@ -41,6 +41,7 @@ HEADLINE_QUERIES = [
     "t_windowed_rollup",
     "sessionize_events",
     "text_parcel_expand",
+    "lake_changelog",
 ]
 
 

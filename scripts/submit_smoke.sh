@@ -1,0 +1,57 @@
+#!/usr/bin/env bash
+# End-to-end `spark-submit --py-files` packaging smoke (north rule:
+# "packaged for spark-submit --py-files").
+#
+# Runs OUTSIDE the repo working directory with only the built zip on
+# --py-files, so every `aus_land_data_etl_spark.*` import must resolve
+# from the zip — proving the package is self-contained the way a real
+# cluster submit requires.  Pipeline: generate a deterministic WAL →
+# streaming ingest (checkpointed, exactly-once) → compact → re-ingest
+# the same WAL (replay must be a no-op).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+REPO="$PWD"
+bash scripts/package.sh >/dev/null
+ZIP="$REPO/dist/aus_land_data_etl_spark.zip"
+CORES="${SMOKE_CORES:-8}"
+N_EVENTS="${SMOKE_EVENTS:-50000}"
+
+WORK="$(mktemp -d /tmp/submit_smoke.XXXXXX)"
+trap 'rm -rf "$WORK"' EXIT
+cp aus_land_data_etl_spark/cli.py "$WORK/driver.py"
+cd "$WORK"
+
+SUBMIT=(spark-submit --master "local[$CORES]" --py-files "$ZIP")
+
+"${SUBMIT[@]}" driver.py generate \
+    --wal "$WORK/wal" --table "$WORK/tbl" --n-events "$N_EVENTS" \
+    --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_generate.json"
+
+"${SUBMIT[@]}" driver.py ingest \
+    --wal "$WORK/wal" --table "$WORK/tbl" --checkpoint "$WORK/ckpt" \
+    --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_ingest.json"
+
+# replay from a FRESH checkpoint: exactly-once sink must apply 0 new rows
+# and commit no new snapshot
+"${SUBMIT[@]}" driver.py ingest \
+    --wal "$WORK/wal" --table "$WORK/tbl" --checkpoint "$WORK/ckpt2" \
+    --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_replay.json"
+
+"${SUBMIT[@]}" driver.py compact \
+    --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
+    | tail -1 | tee "$WORK/out_compact.json"
+
+python3 - "$WORK" <<'EOF'
+import json, sys
+w = sys.argv[1]
+ing = json.load(open(f"{w}/out_ingest.json"))
+rep = json.load(open(f"{w}/out_replay.json"))
+comp = json.load(open(f"{w}/out_compact.json"))
+assert ing["live_pages"] > 0, ing
+assert rep["live_pages"] == ing["live_pages"], (ing, rep)
+assert rep["snapshot"] == ing["snapshot"], (ing, rep)
+assert comp["snapshot"] > ing["snapshot"], (ing, comp)
+print(json.dumps({"submit_smoke": "ok", "live_pages": ing["live_pages"],
+                  "ingest_batches": ing["batches"],
+                  "replay_noop": True}))
+EOF
