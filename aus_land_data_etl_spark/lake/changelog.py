@@ -121,12 +121,19 @@ def read_changes(
     from_version: int,
     to_version: int,
     tiebreak_col: str = "event_id",
+    with_preimages: bool = False,
 ) -> DataFrame:
     """Net row-level changes between two snapshots.
 
     Output schema: ``change_type`` (insert/update/delete) followed by the
     ``to_version`` snapshot's payload columns — the after image for
     insert/update, the before image for delete.
+
+    With ``with_preimages=True`` every update emits TWO rows —
+    ``update_preimage`` (before) and ``update_postimage`` (after) — Delta
+    Lake's Change Data Feed row set.  This is what incremental aggregate
+    maintenance needs: the preimage retracts the old contribution, the
+    postimage adds the new one (``als/lake/incremental.py``).
 
     The reference has no equivalent (its consumers re-query Postgres);
     this is the piece a 100 TB lake needs so derived pipelines are
@@ -170,6 +177,25 @@ def read_changes(
         F.col(f"a.{ver}").eqNullSafe(F.col(f"b.{ver}"))
         & F.col(f"a.{tiebreak_col}").eqNullSafe(F.col(f"b.{tiebreak_col}"))
     )
+    if with_preimages:
+        def img(side: str, ctype: str):
+            return F.struct(
+                F.lit(ctype).alias(CHANGE_TYPE_COL),
+                *[F.col(f"{side}.{c}").alias(c) for c in payload],
+            )
+
+        # One pass over the join: each key yields 0-2 image structs,
+        # exploded JVM-side (no second join to recover preimages).
+        rows = (
+            F.when(~in_a & in_b, F.array(img("b", "insert")))
+            .when(in_a & ~in_b, F.array(img("a", "delete")))
+            .when(
+                ~same_winner,
+                F.array(img("a", "update_preimage"), img("b", "update_postimage")),
+            )
+        )  # unchanged winner -> NULL array -> explode emits nothing
+        return j.select(F.explode(rows).alias("_ch")).select("_ch.*")
+
     change = (
         F.when(~in_a & in_b, F.lit("insert"))
         .when(in_a & ~in_b, F.lit("delete"))

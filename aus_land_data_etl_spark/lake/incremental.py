@@ -1,0 +1,375 @@
+"""Incremental materialized-view maintenance over the changelog.
+
+The reference keeps derived tables fresh by re-running full SQL over
+Postgres after each ingest (the staged clean→dedup→partition flow,
+``/root/reference/sql/nsw_vg/tasks``).  At 100 TB a full recompute per
+micro-batch is not an option; this module maintains grouped aggregates
+*incrementally* from the net changelog (``als/lake/changelog.py``):
+refresh cost is O(interval changes + touched view buckets), never
+O(base table) — the Materialize/Flink "retractable aggregate" model
+expressed as plain DataFrame ops.
+
+How it works
+------------
+A view is just another :class:`LakeTable`, keyed by the encoded group
+key, versioned by the *source* snapshot version it reflects.  Each
+``refresh``:
+
+1. reads ``read_changes(source, v_from, v_to, with_preimages=True)`` —
+   Delta-CDF rows where ``update_preimage``/``delete`` retract the old
+   row's contribution and ``update_postimage``/``insert`` add the new
+   one (the +1/-1 multiset algebra that makes SUM/COUNT maintainable);
+2. aggregates signed contributions per group — one shuffle over the
+   *changes* (map-side partial combine), never over the base table;
+3. reads current state for ONLY the view buckets holding a changed
+   group (bucket-pruned, probe bounded by n_buckets), full-outer joins
+   it with the delta groups, and merges the new totals back through the
+   ordinary LWW ``merge_into``; groups whose live row count reaches
+   zero become tombstones;
+4. commits with ``epoch_id = "mv:<v_from>-><v_to>"`` and records
+   ``mv_source_version`` in the snapshot properties, so a crashed or
+   replayed refresh is a no-op (the same exactly-once machinery the
+   ingest side uses).
+
+Supported aggregates are the decomposable-with-inverse ones: ``count``
+(live rows per group), ``count_col``/``sum`` over a column (null-aware:
+a non-null counter per sum lets ``read`` return SQL-faithful NULL for
+all-null groups), and ``avg`` derived from (sum, count) at read time.
+MIN/MAX are deliberately not offered — they are not maintainable under
+deletes without per-group history; recompute those from the base.
+
+Group keys may be *derived* expressions (``derived={"etype":
+"substring_index(text, ' ', 1)"}``) evaluated on the change rows — the
+analog of grouping a 100 TB web table by registered domain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aus_land_data_etl_spark.lake.changelog import CHANGE_TYPE_COL, read_changes
+from aus_land_data_etl_spark.lake.merge import DELETED_COL, OP_COL, merge_into
+from aus_land_data_etl_spark.lake.table import LakeTable, bucket_expr
+
+#: encoded multi-column group key (the view table's key column)
+MV_KEY_COL = "mv_key"
+#: source snapshot version a view row reflects (the view's version column)
+MV_VERSION_COL = "mv_src_version"
+#: tiebreak for the view's LWW merge (refreshes are totally ordered by
+#: source version, so it just mirrors the version)
+MV_SEQ_COL = "mv_seq"
+#: live-row count per group; <= 0 ⇒ the group is dead (tombstoned)
+MV_ROWS_COL = "mv_rows"
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One maintained aggregate: ``kind`` ∈ count | count_col | sum | avg.
+
+    ``count`` ignores ``col`` (COUNT(*)); the other kinds require it.
+    """
+
+    name: str
+    kind: str
+    col: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.kind not in ("count", "count_col", "sum", "avg"):
+            raise ValueError(f"unsupported agg kind: {self.kind!r}")
+        if self.kind != "count" and not self.col:
+            raise ValueError(f"{self.kind} aggregate {self.name!r} needs col")
+
+
+def _key_expr(keys: list[str]) -> Column:
+    """Null-safe encoding of the group key tuple into one string key.
+
+    ``\\x1f`` separates columns, ``\\x00`` marks NULL — so (NULL, 'a')
+    and ('', 'a') stay distinct and NULL groups get a stable merge key.
+    """
+    return F.concat_ws(
+        "\x1f",
+        *[
+            F.when(F.col(k).isNull(), F.lit("\x00")).otherwise(
+                F.col(k).cast("string")
+            )
+            for k in keys
+        ],
+    )
+
+
+def _storage_aggs(aggs: list[AggSpec]) -> list[AggSpec]:
+    """Physical additive columns backing the requested aggregates.
+
+    ``sum x`` → signed sum ``<name>`` (double) + non-null counter
+    ``_nn_<name>``; ``avg x`` → ``_s_<name>`` + ``_nn_<name>``;
+    ``count`` → nothing extra (MV_ROWS_COL already tracks it);
+    ``count_col`` → its own signed counter.
+    """
+    out: list[AggSpec] = []
+    seen: set[str] = set()
+
+    def add(name: str, kind: str, col: str | None) -> None:
+        if name not in seen:
+            seen.add(name)
+            out.append(AggSpec(name, kind, col))
+
+    for a in aggs:
+        if a.kind == "count":
+            continue
+        if a.kind == "count_col":
+            add(a.name, "count_col", a.col)
+        elif a.kind == "sum":
+            add(a.name, "sum", a.col)
+            add(f"_nn_{a.name}", "count_col", a.col)
+        else:  # avg
+            add(f"_s_{a.name}", "sum", a.col)
+            add(f"_nn_{a.name}", "count_col", a.col)
+    return out
+
+
+class AggView:
+    """Handle to an incrementally-maintained grouped-aggregate view."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        source: LakeTable,
+        keys: list[str],
+        aggs: list[AggSpec],
+        derived: dict[str, str] | None = None,
+        tiebreak_col: str = "event_id",
+    ):
+        self.table = table
+        self.source = source
+        self.keys = keys
+        self.aggs = aggs
+        self.derived = derived or {}
+        self.tiebreak_col = tiebreak_col
+
+    # -- lifecycle --------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        source: LakeTable,
+        keys: list[str],
+        aggs: list[AggSpec],
+        derived: dict[str, str] | None = None,
+        n_buckets: int = 8,
+        tiebreak_col: str = "event_id",
+    ) -> "AggView":
+        key_schema = cls._key_schema(source, keys, derived or {})
+        fields = [T.StructField(MV_KEY_COL, T.StringType(), False)]
+        fields += [T.StructField(k, key_schema[k].dataType, True) for k in keys]
+        fields += [
+            T.StructField(MV_VERSION_COL, T.LongType(), False),
+            T.StructField(MV_SEQ_COL, T.LongType(), False),
+            T.StructField(MV_ROWS_COL, T.LongType(), True),
+        ]
+        for a in _storage_aggs(aggs):
+            fields.append(
+                T.StructField(
+                    a.name,
+                    T.DoubleType() if a.kind == "sum" else T.LongType(),
+                    True,
+                )
+            )
+        table = LakeTable.create(
+            spark,
+            root,
+            schema=T.StructType(fields),
+            key_col=MV_KEY_COL,
+            version_col=MV_VERSION_COL,
+            n_buckets=n_buckets,
+            properties={"mv_source_version": 0, "mv_keys": keys},
+        )
+        return cls(table, source, keys, aggs, derived, tiebreak_col)
+
+    @staticmethod
+    def _key_schema(
+        source: LakeTable, keys: list[str], derived: dict[str, str]
+    ) -> T.StructType:
+        """Types of (payload ∪ derived) group keys, via a zero-row plan."""
+        empty = source.read(buckets=[]).limit(0)
+        for name, expr in derived.items():
+            empty = empty.withColumn(name, F.expr(expr))
+        missing = [k for k in keys if k not in empty.columns]
+        if missing:
+            raise ValueError(f"group keys not in source/derived: {missing}")
+        return empty.select(*keys).schema
+
+    # -- refresh ----------------------------------------------------------
+    def refreshed_through(self) -> int:
+        return int(self.table.snapshot().properties.get("mv_source_version", 0))
+
+    def refresh(self) -> int:
+        """Advance the view to the source's current snapshot.
+
+        One changelog scan → one grouped delta (shuffled on the group
+        key, O(changes)) → one bucket-pruned state join + LWW merge.
+        Idempotent: a replayed interval hits the epoch guard; nothing
+        new is a no-op.  Returns the view's committed snapshot version.
+        """
+        v_from, v_to = self.refreshed_through(), self.source.current_version()
+        if v_to == v_from:
+            return self.table.current_version()
+
+        ch = read_changes(
+            self.source, v_from, v_to, self.tiebreak_col, with_preimages=True
+        )
+        for name, expr in self.derived.items():
+            ch = ch.withColumn(name, F.expr(expr))
+        sign = F.when(
+            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+        storage = _storage_aggs(self.aggs)
+
+        def contribution(a: AggSpec) -> Column:
+            if a.kind == "count_col":
+                return F.when(F.col(a.col).isNotNull(), sign).otherwise(F.lit(0))
+            return sign.cast("double") * F.coalesce(
+                F.col(a.col).cast("double"), F.lit(0.0)
+            )
+
+        deltas = (
+            ch.groupBy(_key_expr(self.keys).alias(MV_KEY_COL), *self.keys)
+            .agg(
+                F.sum(sign).cast("long").alias(f"_d_{MV_ROWS_COL}"),
+                *[
+                    F.sum(contribution(a))
+                    .cast("double" if a.kind == "sum" else "long")
+                    .alias(f"_d_{a.name}")
+                    for a in storage
+                ],
+            )
+            # small (O(changed groups)); pin it so the bucket probe below
+            # doesn't recompute the changelog join — and never a bare
+            # .cache(): the probe must see a durable copy
+            .localCheckpoint(eager=True)
+        )
+
+        snap = self.table.snapshot()
+        touched = sorted(
+            r["b"]
+            for r in deltas.select(
+                bucket_expr(MV_KEY_COL, snap.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        state = self.table.read_resolved(buckets=touched, tiebreak_col=MV_SEQ_COL)
+        if DELETED_COL in state.columns:
+            state = state.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        state = state.select(
+            MV_KEY_COL, *self.keys, MV_ROWS_COL, *[a.name for a in storage]
+        )
+
+        joined = state.alias("s").join(
+            deltas.alias("d"), on=[MV_KEY_COL], how="full_outer"
+        )
+        merged = joined.select(
+            F.col(MV_KEY_COL),
+            *[
+                F.coalesce(F.col(f"d.{k}"), F.col(f"s.{k}")).alias(k)
+                for k in self.keys
+            ],
+            F.lit(v_to).cast("long").alias(MV_VERSION_COL),
+            F.lit(v_to).cast("long").alias(MV_SEQ_COL),
+            (
+                F.coalesce(F.col(f"s.{MV_ROWS_COL}"), F.lit(0))
+                + F.coalesce(F.col(f"_d_{MV_ROWS_COL}"), F.lit(0))
+            ).cast("long").alias(MV_ROWS_COL),
+            *[
+                (
+                    F.coalesce(F.col(f"s.{a.name}"), F.lit(0))
+                    + F.coalesce(F.col(f"_d_{a.name}"), F.lit(0))
+                )
+                .cast("double" if a.kind == "sum" else "long")
+                .alias(a.name)
+                for a in storage
+            ],
+        ).filter(
+            # a state-only row means the interval didn't touch that group
+            # (bucket collision) — it is already correct; don't rewrite it
+            F.col(f"_d_{MV_ROWS_COL}").isNotNull()
+        )
+        batch = merged.withColumn(
+            OP_COL,
+            F.when(F.col(MV_ROWS_COL) <= 0, F.lit("delete")).otherwise(
+                F.lit("update")
+            ),
+        )
+        merge_into(
+            self.table,
+            batch,
+            tiebreak_col=MV_SEQ_COL,
+            epoch_id=f"mv:{v_from}->{v_to}",
+            touched=touched,
+            properties_update={"mv_source_version": v_to},
+        )
+        return self.table.current_version()
+
+    # -- read -------------------------------------------------------------
+    def read(self) -> DataFrame:
+        """Live view rows: group keys + the requested aggregates.
+
+        ``sum``/``avg`` return NULL for all-null groups (SQL semantics),
+        via the per-sum non-null counter maintained in storage.
+        """
+        live = self.table.read_resolved(tiebreak_col=MV_SEQ_COL)
+        if DELETED_COL in live.columns:
+            live = live.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        live = live.filter(F.col(MV_ROWS_COL) > 0)
+        cols: list[Column] = [F.col(k) for k in self.keys]
+        for a in self.aggs:
+            if a.kind == "count":
+                cols.append(F.col(MV_ROWS_COL).cast("long").alias(a.name))
+            elif a.kind == "count_col":
+                cols.append(F.col(a.name).cast("long").alias(a.name))
+            elif a.kind == "sum":
+                cols.append(
+                    F.when(F.col(f"_nn_{a.name}") > 0, F.col(a.name)).alias(
+                        a.name
+                    )
+                )
+            else:  # avg
+                cols.append(
+                    F.when(
+                        F.col(f"_nn_{a.name}") > 0,
+                        F.col(f"_s_{a.name}") / F.col(f"_nn_{a.name}"),
+                    ).alias(a.name)
+                )
+        return live.select(*cols)
+
+
+def full_compute(view: AggView, version: int | None = None) -> DataFrame:
+    """Ground truth: the same aggregates recomputed from the source's live
+    view in one pass — what the refresh-maintained state must equal
+    (pinned by ``tests/test_incremental.py``)."""
+    from aus_land_data_etl_spark.lake.changelog import _live_view
+
+    src_version = view.source.current_version() if version is None else version
+    snap = view.source.snapshot(src_version)
+    payload = [
+        f.name for f in snap.schema.fields if f.name not in (DELETED_COL, OP_COL)
+    ]
+    df = _live_view(view.source, src_version, None, view.tiebreak_col, payload)
+    for name, expr in view.derived.items():
+        df = df.withColumn(name, F.expr(expr))
+    aggs: list[Column] = []
+    for a in view.aggs:
+        if a.kind == "count":
+            aggs.append(F.count("*").alias(a.name))
+        elif a.kind == "count_col":
+            aggs.append(F.count(a.col).alias(a.name))
+        elif a.kind == "sum":
+            aggs.append(F.sum(F.col(a.col).cast("double")).alias(a.name))
+        else:
+            aggs.append(F.avg(F.col(a.col).cast("double")).alias(a.name))
+    return df.groupBy(*view.keys).agg(*aggs)

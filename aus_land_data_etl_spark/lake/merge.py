@@ -44,6 +44,7 @@ def merge_into(
     n_salts: int = 0,
     touched: list[int] | None = None,
     wal_offsets: bool = False,
+    properties_update: dict[str, Any] | None = None,
 ) -> int:
     """Apply a CDC batch (op ∈ insert/update/delete) to the table.
 
@@ -117,6 +118,7 @@ def merge_into(
         epoch_id=epoch_id,
         pre_bucketed=True,
         wal_offsets=wal_offsets,
+        properties_update=properties_update,
     )
 
 

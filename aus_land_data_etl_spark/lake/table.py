@@ -429,6 +429,7 @@ class LakeTable:
         epoch_id: str | list[str] | None = None,
         pre_bucketed: bool = False,
         wal_offsets: bool = False,
+        properties_update: dict[str, Any] | None = None,
     ) -> int:
         """Copy-on-write commit: replace data for ``touched_buckets`` only.
 
@@ -467,6 +468,7 @@ class LakeTable:
         elif "*" not in delta_files:
             # leveled state: depth is the deepest remaining per-bucket stack
             properties["delta_epochs"] = max(len(fs) for fs in delta_files.values())
+        properties.update(properties_update or {})
         recent, watermarks = snap.advanced_epoch_state(epoch_id, wm_rows)
         self._write_manifest_rows(new_version, manifest_rows or [])
         new_snap = Snapshot(

@@ -1363,6 +1363,76 @@ WHERE a.url IS NULL OR b.url IS NULL
 """
 
 
+def q_incr_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate view: apply the
+    events stream as 3 micro-batch intervals, refreshing a grouped
+    (count/sum/avg by event type) view from the changelog after each —
+    refresh cost O(interval changes), never a base-table rescan.  The
+    final view state must equal a from-scratch SQL group-by over the LWW
+    winners (the oracle)."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.incremental import AggSpec, AggView
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_mv_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        view = AggView.create(
+            spark,
+            os.path.join(d, "_mv"),
+            table,
+            keys=["etype"],
+            aggs=[
+                AggSpec("n_pages", "count"),
+                AggSpec("sum_value", "sum", "val"),
+                AggSpec("avg_value", "avg", "val"),
+            ],
+            derived={
+                "etype": "substring_index(text, ' ', 1)",
+                "val": "cast(substring_index(text, '=', -1) as double)",
+            },
+            n_buckets=8,
+        )
+        for i in range(3):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(3)) == i)
+            apply_batch(table, batch, epoch=i)
+            view.refresh()
+        out = view.read().select(
+            F.col("etype"),
+            F.col("n_pages"),
+            F.round(F.col("sum_value"), 3).alias("sum_value"),
+            F.round(F.col("avg_value"), 6).alias("avg_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# The oracle recomputes the view from scratch: LWW winner per key over
+# ALL events (tombstones out), grouped by the winner's event type.
+# Rounding on both sides absorbs the different summation order of an
+# incremental fold vs a single-pass aggregate.
+ORACLE_INCR_AGG_VIEW = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+),
+live AS (
+  SELECT event_type, value FROM ranked
+  WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT event_type AS etype,
+       COUNT(*) AS n_pages,
+       ROUND(SUM(value), 3) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM live
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "cdc_engine_converge": q_cdc_engine_converge,
     "cdc_stream_pipeline": q_cdc_stream_pipeline,
@@ -1405,6 +1475,7 @@ QUERIES: dict[str, QueryFn] = {
     "dim_upsert": q_dim_upsert,
     "cdc_compacted_converge": q_cdc_compacted_converge,
     "lake_changelog": q_lake_changelog,
+    "incr_agg_view": q_incr_agg_view,
 }
 
 ORACLES: dict[str, str] = {
@@ -1445,6 +1516,7 @@ ORACLES: dict[str, str] = {
     "dim_upsert": ORACLE_DIM_UPSERT,
     "cdc_compacted_converge": ORACLE_CDC_CONVERGE,
     "lake_changelog": ORACLE_LAKE_CHANGELOG,
+    "incr_agg_view": ORACLE_INCR_AGG_VIEW,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above
     # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are

@@ -81,8 +81,17 @@ def run_stream(
     max_files_per_trigger: int = 2,
     n_salts: int = 8,
     available_now: bool = True,
+    views: list | None = None,
 ) -> StreamResult:
-    """Tail the WAL directory into the table; drain and return stats."""
+    """Tail the WAL directory into the table; drain and return stats.
+
+    ``views`` — optional :class:`~aus_land_data_etl_spark.lake.incremental.
+    AggView` handles maintained inline: after each micro-batch commit the
+    views fold that batch's changelog interval into their state
+    (O(interval changes)).  Their own exactly-once epoch guards make the
+    combined pipeline crash/replay-safe end to end — a re-driven batch is
+    a no-op for the table AND for every view.
+    """
     registry = SchemaRegistry()
     counters = {"batches": 0, "rows": 0}
     metrics: list[dict] = []
@@ -114,6 +123,8 @@ def run_stream(
             content_keyed=True,
             wal_offsets=True,
         )
+        for v in views or []:
+            v.refresh()
 
     reader = (
         spark.readStream.schema(EVENT_SCHEMA)

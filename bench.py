@@ -42,6 +42,7 @@ HEADLINE_QUERIES = [
     "sessionize_events",
     "text_parcel_expand",
     "lake_changelog",
+    "incr_agg_view",
 ]
 
 

@@ -226,6 +226,26 @@ def test_changelog_replay_equivalence(spark, tmp_table_dir):
     assert ch.groupBy("url").count().filter(F.col("count") > 1).count() == 0
 
 
+def test_changelog_empty_across_pure_compaction(spark, table3):
+    """A compaction/fold rewrites files without changing the live view:
+    the changelog across that interval must be empty (bucket pruning is a
+    superset of truly-changed buckets — the diff itself filters the
+    rewritten-but-identical rows)."""
+    from aus_land_data_etl_spark.lake.merge import compact
+
+    t, v = table3
+    v_before = t.current_version()
+    compact(t)
+    v_after = t.current_version()
+    assert v_after > v_before
+    assert read_changes(t, v_before, v_after).count() == 0
+    # and an interval SPANNING real changes + the compaction still reports
+    # exactly the real changes
+    ch = {r["url"].rsplit("/", 1)[1]: r["change_type"]
+          for r in read_changes(t, v[1], v_after).collect()}
+    assert ch == {"1": "update", "2": "delete", "3": "insert"}
+
+
 def test_history_metadata(spark, table3):
     t, v = table3
     h = {r["version"]: r for r in t.history().collect()}

@@ -126,3 +126,50 @@ def test_fresh_checkpoint_regrouped_batches_still_apply(spark, dirs):
         "url", "warc_ts", "event_id", "text", "lang", "fetch_status"
     )
     assert _fingerprint(got) == _expected(events)
+
+
+def test_stream_maintains_agg_view_inline(spark, dirs):
+    """run_stream(views=[...]): the view folds each micro-batch's
+    changelog interval as it commits; after the drain it equals a full
+    recompute, and a fresh-checkpoint replay advances neither table nor
+    view."""
+    from aus_land_data_etl_spark.lake.incremental import (
+        AggSpec,
+        AggView,
+        full_compute,
+    )
+
+    events = generate_events(spark, N, seed=21)
+    write_event_log(events, dirs["wal"], n_files=6)
+    table = create_pages_table(spark, dirs["table"], n_buckets=8)
+    view = AggView.create(
+        spark,
+        dirs["table"] + "_mv",
+        table,
+        keys=["grp"],
+        aggs=[AggSpec("n_pages", "count"), AggSpec("sum_len", "sum", "tl")],
+        derived={"grp": "pmod(xxhash64(url), 5)", "tl": "length(text)"},
+        n_buckets=4,
+    )
+    run_stream(
+        spark, table, dirs["wal"], dirs["ckpt"],
+        max_files_per_trigger=2, views=[view],
+    )
+    assert view.refreshed_through() == table.current_version()
+
+    def rows(df):
+        return sorted(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+            for r in df.collect()
+        )
+
+    assert rows(view.read()) == rows(full_compute(view))
+    # replay the whole WAL from a fresh checkpoint: exactly-once for both
+    tv, vv = table.current_version(), view.table.current_version()
+    run_stream(
+        spark, table, dirs["wal"], dirs["ckpt"] + "2",
+        max_files_per_trigger=2, views=[view],
+    )
+    assert table.current_version() == tv
+    assert view.table.current_version() == vv
+    assert rows(view.read()) == rows(full_compute(view))
