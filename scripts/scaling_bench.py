@@ -93,12 +93,10 @@ same deterministic input ({n_events:,} events, seed=42), fresh JVM per run:
 Speedup {low}→{high} cores: **{ratio:.2f}×** → scaling efficiency
 (speedup / {high // low}) = **{efficiency:.3f}** (north-rule target ≥ 0.8).
 """
+    # APPEND — prior runs are evidence too (the VM's noise makes any
+    # single run unrepresentative; keep the history)
     baseline = REPO / "BASELINE.md"
-    text = baseline.read_text()
-    marker = "\n## Scaling evidence ("
-    if marker in text:
-        text = text[: text.index(marker)]
-    baseline.write_text(text.rstrip() + "\n" + section)
+    baseline.write_text(baseline.read_text().rstrip() + "\n" + section)
 
 
 if __name__ == "__main__":
