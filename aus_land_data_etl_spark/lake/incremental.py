@@ -68,9 +68,21 @@ MV_ROWS_COL = "mv_rows"
 
 @dataclass(frozen=True)
 class AggSpec:
-    """One maintained aggregate: ``kind`` ∈ count | count_col | sum | avg.
+    """One maintained aggregate: ``kind`` ∈ count | count_col | sum | avg
+    | min | max.
 
     ``count`` ignores ``col`` (COUNT(*)); the other kinds require it.
+
+    ``min``/``max`` are NOT purely additive: a retraction at the stored
+    extremum invalidates it.  They are maintained with the standard
+    dirty-group strategy — additions fold in with ``least``/``greatest``
+    for free; a retraction at-or-beyond the stored extremum marks just
+    that group dirty, and dirty groups are recomputed from the source's
+    live view (a broadcast semi-join on the group key).  Cheap while
+    retractions rarely hit the extremum; the recompute scan is column-
+    pruned but O(source live view) in the worst case — at a 100 TB
+    source, either accept that or keep extremal aggs on views whose key
+    aligns with the source bucketing.
     """
 
     name: str
@@ -78,7 +90,7 @@ class AggSpec:
     col: str | None = None
 
     def __post_init__(self) -> None:
-        if self.kind not in ("count", "count_col", "sum", "avg"):
+        if self.kind not in ("count", "count_col", "sum", "avg", "min", "max"):
             raise ValueError(f"unsupported agg kind: {self.kind!r}")
         if self.kind != "count" and not self.col:
             raise ValueError(f"{self.kind} aggregate {self.name!r} needs col")
@@ -125,6 +137,8 @@ def _storage_aggs(aggs: list[AggSpec]) -> list[AggSpec]:
         elif a.kind == "sum":
             add(a.name, "sum", a.col)
             add(f"_nn_{a.name}", "count_col", a.col)
+        elif a.kind in ("min", "max"):
+            add(a.name, a.kind, a.col)
         else:  # avg
             add(f"_s_{a.name}", "sum", a.col)
             add(f"_nn_{a.name}", "count_col", a.col)
@@ -175,7 +189,7 @@ class AggView:
             fields.append(
                 T.StructField(
                     a.name,
-                    T.DoubleType() if a.kind == "sum" else T.LongType(),
+                    T.LongType() if a.kind == "count_col" else T.DoubleType(),
                     True,
                 )
             )
@@ -229,6 +243,8 @@ class AggView:
         ).otherwise(F.lit(-1))
 
         storage = _storage_aggs(self.aggs)
+        additive = [a for a in storage if a.kind in ("count_col", "sum")]
+        extremal = [a for a in storage if a.kind in ("min", "max")]
 
         def contribution(a: AggSpec) -> Column:
             if a.kind == "count_col":
@@ -236,6 +252,16 @@ class AggView:
             return sign.cast("double") * F.coalesce(
                 F.col(a.col).cast("double"), F.lit(0.0)
             )
+
+        def ext_deltas(a: AggSpec) -> list[Column]:
+            fn = F.min if a.kind == "min" else F.max
+            val = F.col(a.col).cast("double")
+            return [
+                # best added value / most-extreme retracted value this
+                # interval (nulls ignored by min/max themselves)
+                fn(F.when(sign > 0, val)).alias(f"_di_{a.name}"),
+                fn(F.when(sign < 0, val)).alias(f"_dr_{a.name}"),
+            ]
 
         deltas = (
             ch.groupBy(_key_expr(self.keys).alias(MV_KEY_COL), *self.keys)
@@ -245,8 +271,9 @@ class AggView:
                     F.sum(contribution(a))
                     .cast("double" if a.kind == "sum" else "long")
                     .alias(f"_d_{a.name}")
-                    for a in storage
+                    for a in additive
                 ],
+                *[c for a in extremal for c in ext_deltas(a)],
             )
             # small (O(changed groups)); pin it so the bucket probe below
             # doesn't recompute the changelog join — and never a bare
@@ -273,6 +300,31 @@ class AggView:
         joined = state.alias("s").join(
             deltas.alias("d"), on=[MV_KEY_COL], how="full_outer"
         )
+
+        def ext_fold(a: AggSpec) -> Column:
+            # additions fold for free; retraction handling is the dirty path
+            fold = F.least if a.kind == "min" else F.greatest
+            return fold(F.col(f"s.{a.name}"), F.col(f"_di_{a.name}"))
+
+        def ext_dirty(a: AggSpec) -> Column:
+            # a retraction AT or BEYOND the stored extremum invalidates it
+            # (strictly-beyond cannot happen in consistent state; <=/>=
+            # keeps the predicate robust).  NULL-safe false: no stored
+            # extremum (all-null or new group) or no retractions -> clean.
+            cmp = (
+                F.col(f"_dr_{a.name}") <= F.col(f"s.{a.name}")
+                if a.kind == "min"
+                else F.col(f"_dr_{a.name}") >= F.col(f"s.{a.name}")
+            )
+            return F.coalesce(cmp, F.lit(False))
+
+        rows_new = (
+            F.coalesce(F.col(f"s.{MV_ROWS_COL}"), F.lit(0))
+            + F.coalesce(F.col(f"_d_{MV_ROWS_COL}"), F.lit(0))
+        ).cast("long")
+        dirty = F.lit(False)
+        for a in extremal:
+            dirty = dirty | ext_dirty(a)
         merged = joined.select(
             F.col(MV_KEY_COL),
             *[
@@ -281,10 +333,7 @@ class AggView:
             ],
             F.lit(v_to).cast("long").alias(MV_VERSION_COL),
             F.lit(v_to).cast("long").alias(MV_SEQ_COL),
-            (
-                F.coalesce(F.col(f"s.{MV_ROWS_COL}"), F.lit(0))
-                + F.coalesce(F.col(f"_d_{MV_ROWS_COL}"), F.lit(0))
-            ).cast("long").alias(MV_ROWS_COL),
+            rows_new.alias(MV_ROWS_COL),
             *[
                 (
                     F.coalesce(F.col(f"s.{a.name}"), F.lit(0))
@@ -292,14 +341,30 @@ class AggView:
                 )
                 .cast("double" if a.kind == "sum" else "long")
                 .alias(a.name)
-                for a in storage
+                for a in additive
             ],
+            *[ext_fold(a).alias(a.name) for a in extremal],
+            # dead groups take the tombstone path regardless of dirtiness
+            (dirty & (rows_new > 0)).alias("_dirty"),
         ).filter(
             # a state-only row means the interval didn't touch that group
             # (bucket collision) — it is already correct; don't rewrite it
             F.col(f"_d_{MV_ROWS_COL}").isNotNull()
         )
-        batch = merged.withColumn(
+        if extremal:
+            # used by both the clean and the dirty branch below
+            merged = merged.localCheckpoint(eager=True)
+            clean = merged.filter(~F.col("_dirty")).drop("_dirty")
+            dirty_keys = merged.filter(F.col("_dirty")).select(
+                MV_KEY_COL, *self.keys
+            )
+            batch = clean.unionByName(
+                self._recompute_groups(dirty_keys, v_to),
+                allowMissingColumns=False,
+            )
+        else:
+            batch = merged.drop("_dirty")
+        batch = batch.withColumn(
             OP_COL,
             F.when(F.col(MV_ROWS_COL) <= 0, F.lit("delete")).otherwise(
                 F.lit("update")
@@ -314,6 +379,53 @@ class AggView:
             properties_update={"mv_source_version": v_to},
         )
         return self.table.current_version()
+
+    def _source_live(self, version: int | None = None) -> DataFrame:
+        """Source's live view (+ derived columns) at a snapshot."""
+        from aus_land_data_etl_spark.lake.changelog import _live_view
+
+        v = self.source.current_version() if version is None else version
+        snap = self.source.snapshot(v)
+        payload = [
+            f.name
+            for f in snap.schema.fields
+            if f.name not in (DELETED_COL, OP_COL)
+        ]
+        df = _live_view(self.source, v, None, self.tiebreak_col, payload)
+        for name, expr in self.derived.items():
+            df = df.withColumn(name, F.expr(expr))
+        return df
+
+    def _recompute_groups(self, dirty_keys: DataFrame, v_to: int) -> DataFrame:
+        """Recompute ALL storage aggregates for the dirty groups from the
+        source live view — a broadcast semi-join on the encoded group key
+        (dirty groups per interval are few; the scan is column-pruned)."""
+        keyed = self._source_live(v_to).withColumn(
+            MV_KEY_COL, _key_expr(self.keys)
+        )
+        hit = keyed.join(
+            F.broadcast(dirty_keys.select(MV_KEY_COL).distinct()),
+            MV_KEY_COL,
+            "inner",
+        )
+
+        def agg_col(a: AggSpec) -> Column:
+            if a.kind == "count_col":
+                return F.count(a.col).cast("long")
+            fn = {"sum": F.sum, "min": F.min, "max": F.max}[a.kind]
+            return fn(F.col(a.col).cast("double"))
+
+        return hit.groupBy(MV_KEY_COL, *self.keys).agg(
+            F.count("*").cast("long").alias(MV_ROWS_COL),
+            *[agg_col(a).alias(a.name) for a in _storage_aggs(self.aggs)],
+        ).select(
+            MV_KEY_COL,
+            *self.keys,
+            F.lit(v_to).cast("long").alias(MV_VERSION_COL),
+            F.lit(v_to).cast("long").alias(MV_SEQ_COL),
+            MV_ROWS_COL,
+            *[a.name for a in _storage_aggs(self.aggs)],
+        )
 
     # -- read -------------------------------------------------------------
     def read(self) -> DataFrame:
@@ -338,6 +450,10 @@ class AggView:
                         a.name
                     )
                 )
+            elif a.kind in ("min", "max"):
+                # storage is NULL exactly when the group has no non-null
+                # values — already SQL-faithful
+                cols.append(F.col(a.name))
             else:  # avg
                 cols.append(
                     F.when(
@@ -352,24 +468,16 @@ def full_compute(view: AggView, version: int | None = None) -> DataFrame:
     """Ground truth: the same aggregates recomputed from the source's live
     view in one pass — what the refresh-maintained state must equal
     (pinned by ``tests/test_incremental.py``)."""
-    from aus_land_data_etl_spark.lake.changelog import _live_view
-
-    src_version = view.source.current_version() if version is None else version
-    snap = view.source.snapshot(src_version)
-    payload = [
-        f.name for f in snap.schema.fields if f.name not in (DELETED_COL, OP_COL)
-    ]
-    df = _live_view(view.source, src_version, None, view.tiebreak_col, payload)
-    for name, expr in view.derived.items():
-        df = df.withColumn(name, F.expr(expr))
+    df = view._source_live(version)
     aggs: list[Column] = []
     for a in view.aggs:
         if a.kind == "count":
             aggs.append(F.count("*").alias(a.name))
         elif a.kind == "count_col":
             aggs.append(F.count(a.col).alias(a.name))
-        elif a.kind == "sum":
-            aggs.append(F.sum(F.col(a.col).cast("double")).alias(a.name))
+        elif a.kind in ("sum", "min", "max"):
+            fn = {"sum": F.sum, "min": F.min, "max": F.max}[a.kind]
+            aggs.append(fn(F.col(a.col).cast("double")).alias(a.name))
         else:
             aggs.append(F.avg(F.col(a.col).cast("double")).alias(a.name))
     return df.groupBy(*view.keys).agg(*aggs)

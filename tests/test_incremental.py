@@ -227,3 +227,76 @@ def test_multi_column_and_null_group_keys(spark, tmp_path):
     got = {(r["seg"], r["tld"]): r["n"] for r in view.read().collect()}
     assert got[(None, "com")] == 1
     assert got[("2", "com")] == 1 and got[("3", "org")] == 1
+
+
+def test_min_max_clean_and_dirty_paths(spark, tmp_path):
+    """min/max fold additions for free; a retraction at the stored
+    extremum forces that group's recompute (and only then)."""
+    src = create_pages_table(spark, str(tmp_path / "src"), n_buckets=2)
+    view = AggView.create(
+        spark, str(tmp_path / "mv"), src,
+        keys=["grp"],
+        aggs=[AggSpec("min_len", "min", "tl"), AggSpec("max_len", "max", "tl")],
+        derived={"grp": "regexp_extract(url, 'g([0-9]+)', 1)", "tl": "length(text)"},
+        n_buckets=2,
+    )
+    # g1: texts of length 2 and 6 (bodies "xx", "yyyyyy")
+    apply_batch(src, _events_df(spark, [
+        _ev(1, "insert", "https://ex.com/g1/a", 10, "xx"),
+        _ev(2, "insert", "https://ex.com/g1/b", 10, "yyyyyy"),
+    ]), epoch=0)
+    view.refresh()
+    assert _rows(view.read()) == _rows(full_compute(view))
+    # clean path: insert shorter text -> new min, no recompute needed
+    apply_batch(src, _events_df(spark, [
+        _ev(3, "insert", "https://ex.com/g1/c", 20, "z"),
+    ]), epoch=1)
+    view.refresh()
+    got = view.read().collect()[0]
+    assert got["min_len"] == 1.0 and got["max_len"] == 6.0
+    # dirty path: delete the min row -> extremum invalidated -> recompute
+    apply_batch(src, _events_df(spark, [
+        _ev(4, "delete", "https://ex.com/g1/c", 30, None),
+    ]), epoch=2)
+    view.refresh()
+    got = view.read().collect()[0]
+    assert got["min_len"] == 2.0 and got["max_len"] == 6.0
+    assert _rows(view.read()) == _rows(full_compute(view))
+    # dirty path via update: the max row's text shrinks
+    apply_batch(src, _events_df(spark, [
+        _ev(5, "update", "https://ex.com/g1/b", 40, "www"),
+    ]), epoch=3)
+    view.refresh()
+    got = view.read().collect()[0]
+    assert got["min_len"] == 2.0 and got["max_len"] == 3.0
+    assert _rows(view.read()) == _rows(full_compute(view))
+    # group death through the extremal view
+    apply_batch(src, _events_df(spark, [
+        _ev(6, "delete", "https://ex.com/g1/a", 50, None),
+        _ev(7, "delete", "https://ex.com/g1/b", 50, None),
+    ]), epoch=4)
+    view.refresh()
+    assert view.read().count() == 0
+
+
+def test_min_max_matches_full_recompute_over_generated_stream(spark, tmp_path):
+    """min/max by derived key track a generated CDC stream (updates move
+    values, deletes retract extrema) interval by interval."""
+    src = create_pages_table(spark, str(tmp_path / "src"), n_buckets=4)
+    view = AggView.create(
+        spark, str(tmp_path / "mv"), src,
+        keys=["grp"],
+        aggs=[
+            AggSpec("n", "count"),
+            AggSpec("min_len", "min", "tl"),
+            AggSpec("max_len", "max", "tl"),
+        ],
+        derived={"grp": "pmod(xxhash64(url), 3)", "tl": "length(text)"},
+        n_buckets=4,
+    )
+    events = generate_events(spark, 1500, seed=29)
+    for i in range(3):
+        batch = events.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == i)
+        apply_batch(src, batch, epoch=i)
+        view.refresh()
+        assert _rows(view.read()) == _rows(full_compute(view))
