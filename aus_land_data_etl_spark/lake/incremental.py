@@ -31,12 +31,16 @@ key, versioned by the *source* snapshot version it reflects.  Each
    replayed refresh is a no-op (the same exactly-once machinery the
    ingest side uses).
 
-Supported aggregates are the decomposable-with-inverse ones: ``count``
+Supported aggregates: the decomposable-with-inverse ones — ``count``
 (live rows per group), ``count_col``/``sum`` over a column (null-aware:
 a non-null counter per sum lets ``read`` return SQL-faithful NULL for
-all-null groups), and ``avg`` derived from (sum, count) at read time.
-MIN/MAX are deliberately not offered — they are not maintainable under
-deletes without per-group history; recompute those from the base.
+all-null groups), ``avg`` derived from (sum, count) at read time — and
+``min``/``max``, which have no inverse under deletes and are instead
+maintained by dirty-group recompute: groups whose interval changes
+could have shrunk the extremum (a delete/preimage AT the current
+extremum) are re-aggregated from the base table's live view, bucket-
+pruned to the dirty groups; all other groups fold incrementally.  See
+``AggSpec`` for the exact cost model.
 
 Group keys may be *derived* expressions (``derived={"etype":
 "substring_index(text, ' ', 1)"}``) evaluated on the change rows — the

@@ -17,10 +17,12 @@ uses (metadata.json + version-hint).
 Scale design (10^10 events / 10^5 epochs): the descriptor is **O(1) in
 epoch count** —
 
-- per-epoch lineage manifests are spilled to parquet files under
-  ``_manifests/m<version>.parquet`` (Iceberg's manifest-list move); the
-  descriptor holds nothing per epoch, and ``manifest_df`` reads the
-  parquet files (a distributed scan, not driver JSON);
+- per-epoch lineage manifests are spilled to uniquely-named parquet
+  files under ``_manifests/`` whose names the descriptor references
+  (Iceberg's manifest-list move, with size-tiered auto-compaction of the
+  small-file tail); the descriptor holds no lineage rows, and
+  ``manifest_df`` reads the referenced parquet files (a distributed
+  scan, not driver JSON) — versioned per snapshot;
 - the exactly-once guard is a **bounded recent-epoch window** (fast path
   for foreachBatch retries / immediate replays) plus **per-source-
   partition offset high-watermarks**: the watermark is the end of the
@@ -50,7 +52,8 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from dataclasses import dataclass, field
+import uuid
+from dataclasses import dataclass, field, fields as fields_of, replace
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +69,12 @@ BUCKET_COL = "bucket_id"
 #: by the offset watermarks (WAL batches) or re-applied idempotently
 #: (ad-hoc batches) — never falsely skipped.
 RECENT_EPOCH_WINDOW = 128
+
+#: Size-tiered manifest compaction: once a snapshot references more than
+#: this many manifest files, the sub-``MANIFEST_TIER_BYTES`` tail is
+#: merged into one file as part of the commit.
+MANIFEST_TAIL_MAX = 8
+MANIFEST_TIER_BYTES = 1 << 20
 
 #: Lineage manifest schema — one row per (epoch, source partition).
 MANIFEST_SCHEMA = T.StructType(
@@ -129,13 +138,35 @@ class Snapshot:
     #: holds fanout deltas that span all buckets (written without any
     #: shuffle — clustering deferred to compaction).
     delta_files: dict[str, list[str]] = field(default_factory=dict)
+    #: lineage manifest files (relative to ``_manifests/``) THIS snapshot
+    #: references.  Files carry a unique suffix and become visible only by
+    #: being listed here (Iceberg's manifest-list): a concurrent committer
+    #: that loses the descriptor race leaves an orphan file that no
+    #: snapshot references — never a clobbered or phantom manifest.
+    manifest_files: list[str] = field(default_factory=list)
+    #: inline lineage rows migrated from a pre-manifest-spill descriptor;
+    #: spilled to a referenced parquet file on the next commit.
+    legacy_manifests: list[dict[str, Any]] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
 
     @staticmethod
     def from_json(s: str) -> "Snapshot":
-        return Snapshot(**json.loads(s))
+        d = json.loads(s)
+        # migrate descriptors written before the metadata-scale change:
+        # unbounded `committed_epochs` -> bounded recent window (older
+        # replays of WAL batches are still caught by the offset
+        # watermarks; ad-hoc replays re-apply LWW-idempotently), inline
+        # `manifests` rows -> carried until the next commit spills them.
+        legacy_epochs = d.pop("committed_epochs", None)
+        if legacy_epochs is not None and "recent_epochs" not in d:
+            d["recent_epochs"] = list(legacy_epochs)[-RECENT_EPOCH_WINDOW:]
+        legacy_rows = d.pop("manifests", None)
+        if legacy_rows and not d.get("legacy_manifests"):
+            d["legacy_manifests"] = list(legacy_rows)
+        known = {f.name for f in fields_of(Snapshot)}
+        return Snapshot(**{k: v for k, v in d.items() if k in known})
 
     @property
     def schema(self) -> T.StructType:
@@ -214,17 +245,21 @@ class LakeTable:
 
     def _write_manifest_rows(
         self, version: int, rows: list[dict[str, Any]]
-    ) -> None:
-        """Spill one commit's lineage rows to ``_manifests/m<version>.parquet``.
+    ) -> str | None:
+        """Spill one commit's lineage rows to a UNIQUELY-named file
+        ``_manifests/m<version>-<token>.parquet`` and return its name.
 
-        Written (tmp + atomic rename) BEFORE the descriptor: a crash in
-        between leaves an orphan whose version is above the pointer —
-        invisible to ``manifest_df`` and overwritten by the retry.  Rows
-        are O(source partitions) per commit, written driver-side with
-        pyarrow; the descriptor never carries them.
+        Written BEFORE the descriptor, but visible only once a committed
+        descriptor lists the name (``Snapshot.manifest_files``): a crash —
+        or a committer that loses the descriptor's O_EXCL race — leaves an
+        unreferenced orphan, never a clobbered file (two committers racing
+        on the same version write two different names; the loser's retry
+        spills its rows again under its new version).  Rows are O(source
+        partitions) per commit, written driver-side with pyarrow; the
+        descriptor carries names only.
         """
         if not rows:
-            return
+            return None
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -259,7 +294,61 @@ class LakeTable:
         fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
         os.close(fd)
         pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(self._manifest_dir, f"m{version:08d}.parquet"))
+        name = f"m{version:08d}-{uuid.uuid4().hex[:12]}.parquet"
+        os.replace(tmp, os.path.join(self._manifest_dir, name))
+        return name
+
+    def _merge_manifest_files(self, version: int, names: list[str]) -> str:
+        """Driver-side merge of manifest files into one new uniquely-named
+        file at ``version``.  Inputs stay on disk (older snapshots still
+        reference them) until ``expire_snapshots`` reclaims them."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        merged = pa.concat_tables(
+            [pq.read_table(os.path.join(self._manifest_dir, n)) for n in names]
+        )
+        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(merged, tmp)
+        name = f"m{version:08d}-{uuid.uuid4().hex[:12]}.parquet"
+        os.replace(tmp, os.path.join(self._manifest_dir, name))
+        return name
+
+    def _next_manifest_files(
+        self,
+        snap: "Snapshot",
+        new_version: int,
+        rows: list[dict[str, Any]] | None,
+    ) -> list[str]:
+        """Manifest-file list for the next snapshot: spill any migrated
+        inline rows, spill this commit's rows, then size-tiered
+        auto-compaction — when the list exceeds ``MANIFEST_TAIL_MAX``
+        entries, merge the small (< ``MANIFEST_TIER_BYTES``) tail files
+        into one.  Big merged files are left alone, so compaction work is
+        O(tail), not O(total history), and the descriptor's list stays
+        O(MANIFEST_TAIL_MAX + total/TIER) — effectively flat in epochs.
+        """
+        files = list(snap.manifest_files)
+        if snap.legacy_manifests:
+            name = self._write_manifest_rows(new_version, snap.legacy_manifests)
+            if name:
+                files.append(name)
+        name = self._write_manifest_rows(new_version, rows or [])
+        if name:
+            files.append(name)
+        if len(files) <= MANIFEST_TAIL_MAX:
+            return files
+        small = [
+            n
+            for n in files
+            if os.path.getsize(os.path.join(self._manifest_dir, n))
+            < MANIFEST_TIER_BYTES
+        ]
+        if len(small) <= 1:
+            return files
+        merged = self._merge_manifest_files(new_version, small)
+        return [n for n in files if n not in set(small)] + [merged]
 
     # -- lifecycle ---------------------------------------------------------
     @classmethod
@@ -416,6 +505,7 @@ class LakeTable:
             recent_epochs=snap.recent_epochs,
             watermarks=snap.watermarks,
             properties=snap.properties,
+            manifest_files=self._next_manifest_files(snap, new_version, None),
         )
         self._write_snapshot(new_snap)
         return new_version
@@ -470,7 +560,6 @@ class LakeTable:
             properties["delta_epochs"] = max(len(fs) for fs in delta_files.values())
         properties.update(properties_update or {})
         recent, watermarks = snap.advanced_epoch_state(epoch_id, wm_rows)
-        self._write_manifest_rows(new_version, manifest_rows or [])
         new_snap = Snapshot(
             version=new_version,
             schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
@@ -482,6 +571,7 @@ class LakeTable:
             watermarks=watermarks,
             properties=properties,
             delta_files=delta_files,
+            manifest_files=self._next_manifest_files(snap, new_version, manifest_rows),
         )
         self._write_snapshot(new_snap)
         return new_version
@@ -533,9 +623,22 @@ class LakeTable:
             for b, fs in new_files.items():
                 delta_files.setdefault(b, []).extend(fs)
         properties = dict(snap.properties)
-        properties["delta_epochs"] = int(properties.get("delta_epochs", 0)) + 1
+        if fanout:
+            # each fanout commit deepens the unclustered "*" backlog by one
+            properties["delta_epochs"] = int(properties.get("delta_epochs", 0)) + 1
+        else:
+            # leveled state: the trigger is the DEEPEST per-bucket stack,
+            # not the commit count — otherwise shallow wide stacks would
+            # re-arm a fold that has nothing to do on every single epoch
+            base = (
+                int(properties.get("delta_epochs", 0))
+                if "*" in delta_files
+                else 0
+            )
+            properties["delta_epochs"] = max(
+                [base] + [len(fs) for b, fs in delta_files.items() if b != "*"]
+            )
         recent, watermarks = snap.advanced_epoch_state(epoch_id, wm_rows)
-        self._write_manifest_rows(new_version, manifest_rows or [])
         new_snap = Snapshot(
             version=new_version,
             schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
@@ -547,6 +650,7 @@ class LakeTable:
             watermarks=watermarks,
             properties=properties,
             delta_files=delta_files,
+            manifest_files=self._next_manifest_files(snap, new_version, manifest_rows),
         )
         self._write_snapshot(new_snap)
         return new_version
@@ -587,6 +691,7 @@ class LakeTable:
             watermarks=snap.watermarks,
             properties=properties,
             delta_files=delta_files,
+            manifest_files=self._next_manifest_files(snap, new_version, None),
         )
         self._write_snapshot(new_snap)
         return new_version
@@ -603,59 +708,71 @@ class LakeTable:
         """Lineage manifests as a DataFrame (epoch, partition, offsets, counts,
         checksum) — the queryable audit trail the north rule requires.
 
-        Backed by the spilled parquet manifest files, so this is a
-        distributed scan that works at 10^5 epochs; only files at or below
-        the (requested) snapshot version are visible, which also makes
-        crash-orphaned manifest files (version above the pointer) invisible.
+        Backed by the manifest files the requested snapshot's descriptor
+        REFERENCES (never a directory listing), so this is a distributed
+        scan that works at 10^5 epochs, versioned reads see exactly the
+        lineage as of that snapshot even after later compactions, and
+        orphan files — from a crash or a committer that lost the
+        descriptor race — are invisible by construction.  Requesting an
+        expired version raises (descriptor gone), never a partial result.
         """
-        v = self.current_version() if version is None else version
-        paths: list[str] = []
-        if os.path.isdir(self._manifest_dir):
-            for f in sorted(os.listdir(self._manifest_dir)):
-                if f.startswith("m") and f.endswith(".parquet") and int(f[1:9]) <= v:
-                    paths.append(os.path.join(self._manifest_dir, f))
-        if not paths:
+        snap = self.snapshot(version)
+        paths = [os.path.join(self._manifest_dir, f) for f in snap.manifest_files]
+        out = None
+        if paths:
+            out = self.spark.read.schema(MANIFEST_SCHEMA).parquet(*paths)
+        if snap.legacy_manifests:
+            rows = [
+                {
+                    "epoch": int(m.get("epoch", -1)),
+                    "source_partition": int(m["source_partition"]),
+                    "source_file": str(m.get("source_file", "")),
+                    "start_offset": int(m["start_offset"]),
+                    "end_offset": int(m["end_offset"]),
+                    "row_count": int(m["row_count"]),
+                    "distinct_offsets": int(
+                        m.get("distinct_offsets", m["row_count"])
+                    ),
+                    "checksum": str(m["checksum"]),
+                }
+                for m in snap.legacy_manifests
+            ]
+            legacy = self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
+            out = legacy if out is None else out.unionByName(legacy)
+        if out is None:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
-        # exact-row dedupe: duplicates can only arise from a crash between
-        # compact_manifests' rename and its cleanup of merged inputs
-        return (
-            self.spark.read.schema(MANIFEST_SCHEMA).parquet(*paths).dropDuplicates()
-        )
+        return out
 
     def compact_manifests(self) -> int:
-        """Merge every manifest file visible at the current version into
-        one (Iceberg's rewrite_manifests analog) — bounds the
-        ``_manifests/`` listing at O(1) after maintenance instead of
-        O(commits).  Returns the number of files merged away.
+        """Merge every manifest file the CURRENT snapshot references into
+        one (Iceberg's rewrite_manifests analog) via a metadata-only
+        commit.  Returns the number of files merged away.
 
-        Crash-safe: the merged file replaces ``m<current>.parquet``
-        atomically first; if cleanup of the inputs is interrupted, the
-        duplicated rows are removed by ``manifest_df``'s exact-row dedupe.
+        Input files stay on disk — older retained snapshots still
+        reference them for versioned lineage reads — and are reclaimed by
+        ``expire_snapshots`` once no retained descriptor references them.
         """
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        v = self.current_version()
-        if not os.path.isdir(self._manifest_dir):
+        snap = self.snapshot()
+        if len(snap.manifest_files) <= 1 and not snap.legacy_manifests:
             return 0
-        files = [
-            f
-            for f in sorted(os.listdir(self._manifest_dir))
-            if f.startswith("m") and f.endswith(".parquet") and int(f[1:9]) <= v
-        ]
-        if len(files) <= 1:
-            return 0
-        merged = pa.concat_tables(
-            [pq.read_table(os.path.join(self._manifest_dir, f)) for f in files]
+        new_version = snap.version + 1
+        files = list(snap.manifest_files)
+        if snap.legacy_manifests:
+            name = self._write_manifest_rows(new_version, snap.legacy_manifests)
+            if name:
+                files.append(name)
+        merged = (
+            self._merge_manifest_files(new_version, files)
+            if len(files) > 1
+            else files[0]
         )
-        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
-        os.close(fd)
-        pq.write_table(merged, tmp)
-        target = f"m{v:08d}.parquet"
-        os.replace(tmp, os.path.join(self._manifest_dir, target))
-        for f in files:
-            if f != target:
-                os.remove(os.path.join(self._manifest_dir, f))
+        new_snap = replace(
+            snap,
+            version=new_version,
+            manifest_files=[merged],
+            legacy_manifests=[],
+        )
+        self._write_snapshot(new_snap)
         return len(files) - 1
 
     def expire_snapshots(self, keep_last: int = 2) -> None:
@@ -664,6 +781,7 @@ class LakeTable:
         current = self.current_version()
         keep = set(range(max(0, current - keep_last + 1), current + 1))
         live_files: set[str] = set()
+        live_manifests: set[str] = set()
         for v in keep:
             try:
                 s = self.snapshot(v)
@@ -673,6 +791,19 @@ class LakeTable:
                 live_files.update(fs)
             for fs in s.delta_files.values():
                 live_files.update(fs)
+            live_manifests.update(s.manifest_files)
+        # manifest files no retained descriptor references: compaction
+        # inputs and crash/race orphans.  Files above the current version
+        # may belong to an in-flight commit — left alone until it resolves.
+        if os.path.isdir(self._manifest_dir):
+            for f in os.listdir(self._manifest_dir):
+                if (
+                    f.startswith("m")
+                    and f.endswith(".parquet")
+                    and f not in live_manifests
+                    and int(f[1:9]) <= current
+                ):
+                    os.remove(os.path.join(self._manifest_dir, f))
         data_dir = os.path.join(self.root, "data")
         if os.path.isdir(data_dir):
             for sdir in os.listdir(data_dir):

@@ -210,7 +210,7 @@ def train_ivf_centroids(
     """
     vecs = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).filter(F.col("v").isNotNull())
     init = (
         vecs.orderBy(F.xxhash64(F.col("_id"), F.lit(seed)))
         .limit(n_cells)
@@ -264,14 +264,25 @@ def ivf_topk(
     spark = corpus.sparkSession
     assign = _cell_assign_udf(spark, centroids)
     probe = _probe_cells_udf(spark, centroids, nprobe)
-    c = corpus.select(
-        F.col(id_col).alias("neighbour_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cell", assign(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("cell", F.explode(probe(F.col("qv"))))
+    # NULL embeddings are unindexable: the numpy batch scorer would raise
+    # on a ragged stack where the Catalyst paths simply drop the row —
+    # keep the drop-the-row semantics here too
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbour_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .filter(F.col("cv").isNotNull())
+        .withColumn("cell", assign(F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .filter(F.col("qv").isNotNull())
+        .withColumn("cell", F.explode(probe(F.col("qv"))))
+    )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbour_id"))

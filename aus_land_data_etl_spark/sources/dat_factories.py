@@ -292,6 +292,26 @@ def _z_mapping(vintage: str) -> dict[str, Column]:
     }
 
 
+#: canonical type per superset column — columns a vintage lacks are
+#: emitted as NULL of THIS type (not string), so every vintage of a kind
+#: yields one stable schema and multi-year scans union without coercion
+_CANONICAL_TYPES: dict[str, str] = {
+    "district_code": "int",
+    "property_id": "long",
+    "sale_counter": "int",
+    "date_provided": "timestamp",
+    "contract_date": "date",
+    "settlement_date": "date",
+    "purchase_price": "double",
+    "area": "double",
+    "strata_lot_number": "int",
+    "interest_of_sale": "int",
+    "total_records": "int",
+    "total_sale_property_details": "int",
+    "total_sale_property_legal_descriptions": "int",
+    "total_sale_participants": "int",
+}
+
 #: superset column order per kind (stable output schemas)
 A_COLS = ["file_type", "district_code", "date_provided", "submitting_user_id"]
 B_COLS = [
@@ -343,8 +363,13 @@ def _project(records: DataFrame, kind: str, cols: list[str],
                 continue
             cond = n == count
             expr = F.when(cond, e) if expr is None else expr.when(cond, e)
+        canonical = _CANONICAL_TYPES.get(col, "string")
         out_cols.append(
-            (F.lit(None).cast("string") if expr is None else expr).alias(col)
+            (
+                F.lit(None).cast(canonical)
+                if expr is None
+                else expr.otherwise(F.lit(None).cast(canonical))
+            ).alias(col)
         )
     variant_expr = None
     for count, variant in ordered:

@@ -27,45 +27,63 @@ def read_csv_with_fallback(
     path: str,
     schema: T.StructType | None = None,
     encodings: tuple[str, ...] = ("UTF-8", "ISO-8859-1"),
-    sample_files: int = 4,
+    sep: str = ",",
     **options,
 ) -> DataFrame:
-    """CSV scan with encoding fallback.
+    """CSV scan with PER-FILE encoding fallback in ONE pass over the bytes.
 
     Reference: land-values ingest retries ISO-8859-1 when UTF-8 decode
-    fails (/root/reference/lib/pipeline/nsw_vg/land_values/ingest.py:137-177).
-    Spark's csv reader substitutes malformed bytes instead of raising, so
-    the probe is explicit — but bounded: files are homogeneous per
-    directory in the reference's sources, so strict-decoding a sample of
-    ``sample_files`` files decides the encoding for the whole scan.  The
-    only full pass over the data is the real csv read (at 100 TB an
-    unbounded probe would double ingest I/O).
+    fails (/root/reference/lib/pipeline/nsw_vg/land_values/ingest.py:137-177)
+    — a per-file try/except.  Restated without a probe pass: each file's
+    bytes are read once (binaryFile), decoded with ``encodings[0]`` and,
+    on UnicodeDecodeError, re-decoded in memory with the fallback (no
+    second scan); the decoded lines are then parsed JVM-side with
+    ``from_csv``.  A directory may freely mix encodings per file — the
+    failure mode of any whole-scan encoding choice.
+
+    Column names come from ``schema`` when given, else from the header of
+    the first file (one bounded driver-side read).  Limitation: records
+    must not contain embedded newlines (true of the reference's sources);
+    per-file decode is inherently file-at-a-time, so files should be the
+    usual many-small-files shape, not one giant blob.
     """
-    raw = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("content")
-        .limit(max(1, sample_files))
-    )
+    enc0, enc1 = encodings[0], encodings[1]
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            flags = []
+            frames = []
             for content in pdf["content"]:
+                data = bytes(content)
                 try:
-                    bytes(content).decode(encodings[0])
-                    flags.append(True)
+                    text = data.decode(enc0)
                 except UnicodeDecodeError:
-                    flags.append(False)
-            yield pd.DataFrame({"ok": flags})
+                    text = data.decode(enc1)
+                lines = text.splitlines()[1:]  # drop per-file header
+                if lines:
+                    frames.append(pd.DataFrame({"value": lines}))
+            yield pd.concat(frames) if frames else pd.DataFrame({"value": []})
 
-    oks = raw.mapInPandas(probe, schema="ok boolean")
-    bad = oks.filter(~F.col("ok")).limit(1).count()
-    encoding = encodings[0] if not bad else encodings[1]
-    reader = spark.read.options(header=True, encoding=encoding, **options)
+    raw = spark.read.format("binaryFile").load(path).select("content")
+    lines = raw.mapInPandas(decode, schema="value string")
+
     if schema is not None:
-        reader = reader.schema(schema)
-    return reader.csv(path)
+        ddl = schema
+    else:
+        first = raw.limit(1).collect()
+        if not first:
+            return spark.createDataFrame([], T.StructType([]))
+        data = bytes(first[0]["content"])
+        try:
+            header = data.decode(enc0).splitlines()[0]
+        except UnicodeDecodeError:
+            header = data.decode(enc1).splitlines()[0]
+        names = [c.strip().strip('"') for c in header.split(sep)]
+        ddl = T.StructType([T.StructField(n, T.StringType()) for n in names])
+    ddl_str = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in ddl.fields)
+    parsed = lines.select(
+        F.from_csv(F.col("value"), ddl_str, {"sep": sep, **options}).alias("r")
+    )
+    return parsed.select("r.*")
 
 
 def read_psv(

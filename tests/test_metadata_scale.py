@@ -101,18 +101,29 @@ def test_descriptor_o1_in_epochs_and_watermark_replay(
     total = sum(prepare_batch(b).count() for b in batches)
     assert m.agg(F.sum("row_count")).collect()[0][0] == total
 
-    # crash-orphaned manifest (version above the pointer) is invisible
+    # a manifest file no descriptor references (crash orphan, or a
+    # committer that lost the descriptor race) is invisible
     orphan_src = sorted(os.listdir(table._manifest_dir))[0]
     shutil.copyfile(
         os.path.join(table._manifest_dir, orphan_src),
-        os.path.join(table._manifest_dir, "m99999999.parquet"),
+        os.path.join(table._manifest_dir, "m99999999-deadbeef.parquet"),
     )
     assert m.count() == table.manifest_df().count()
+    # ... and expire_snapshots does not reclaim files that may belong to
+    # an in-flight commit (version above the pointer)
+    table.expire_snapshots(keep_last=1)
+    assert "m99999999-deadbeef.parquet" in os.listdir(table._manifest_dir)
+    # versioned lineage: an older RETAINED snapshot sees only its own rows
+    v = table.current_version()
+    assert table.manifest_df(version=v).count() == m.count()
 
 
 def test_compact_manifests_merges_to_one_file(spark, tmp_table_dir):
-    """Manifest compaction bounds the _manifests listing while preserving
-    every lineage row (rewrite_manifests analog)."""
+    """Manifest compaction (rewrite_manifests analog) is a metadata-only
+    commit: the new snapshot references ONE merged file, every lineage
+    row survives, versioned reads of the pre-compaction snapshot still
+    see their own file set, and expire_snapshots reclaims the inputs
+    once no retained descriptor references them."""
     events = generate_events(spark, 400, seed=31).localCheckpoint(eager=True)
     table = create_pages_table(spark, tmp_table_dir, n_buckets=4)
     for i in range(4):
@@ -123,12 +134,61 @@ def test_compact_manifests_merges_to_one_file(spark, tmp_table_dir):
     before = sorted(
         tuple(r) for r in table.manifest_df().collect()
     )
-    n_files = len(os.listdir(table._manifest_dir))
-    assert n_files == 4
+    v_pre = table.current_version()
+    assert len(table.snapshot().manifest_files) == 4
     merged = table.compact_manifests()
     assert merged == 3
-    assert len(os.listdir(table._manifest_dir)) == 1
+    assert len(table.snapshot().manifest_files) == 1
     after = sorted(tuple(r) for r in table.manifest_df().collect())
     assert after == before
-    # idempotent / no-op on a single file
+    # versioned lineage read of the retained pre-compaction snapshot
+    pre = sorted(tuple(r) for r in table.manifest_df(version=v_pre).collect())
+    assert pre == before
+    # inputs reclaimed only once no retained descriptor references them
+    table.expire_snapshots(keep_last=1)
+    assert len(os.listdir(table._manifest_dir)) == 1
+    # idempotent / no-op on a single referenced file
     assert table.compact_manifests() == 0
+
+
+def test_snapshot_migrates_legacy_descriptor():
+    """Descriptors written before the metadata-scale change (inline
+    `manifests` rows + unbounded `committed_epochs`) still open: epochs
+    land in the bounded recent window, inline rows are carried as
+    legacy_manifests (spilled to a referenced file on the next commit),
+    and unknown future keys are ignored."""
+    import json as _json
+
+    from aus_land_data_etl_spark.lake.table import Snapshot
+
+    rows = [
+        {
+            "source_partition": 0,
+            "start_offset": 0,
+            "end_offset": 9,
+            "row_count": 10,
+            "checksum": "abc",
+        }
+    ]
+    legacy = {
+        "version": 3,
+        "schema_json": '{"type":"struct","fields":[]}',
+        "n_buckets": 4,
+        "key_col": "url",
+        "version_col": "warc_ts",
+        "bucket_files": {},
+        "manifests": rows,
+        "committed_epochs": ["0", "1", "2"],
+        "properties": {},
+        "delta_files": {},
+        "some_future_key": True,
+    }
+    snap = Snapshot.from_json(_json.dumps(legacy))
+    assert snap.recent_epochs == ["0", "1", "2"]
+    assert snap.legacy_manifests == rows
+    assert snap.is_applied("1")
+    assert not snap.is_applied("99")
+    # round-trips through the new serialisation without the legacy keys
+    again = Snapshot.from_json(snap.to_json())
+    assert again.recent_epochs == snap.recent_epochs
+    assert again.legacy_manifests == rows

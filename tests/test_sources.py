@@ -41,6 +41,20 @@ def test_csv_latin1_fallback(spark, srcdir):
     assert df.collect()[0]["name"] == "José"
 
 
+def test_csv_mixed_encodings_per_file(spark, srcdir):
+    """One directory mixing UTF-8 and ISO-8859-1 files: the fallback is
+    per FILE (single pass over the bytes), so both decode losslessly —
+    a whole-scan encoding choice would mojibake one of them."""
+    with open(os.path.join(srcdir, "a.csv"), "w", encoding="utf-8") as f:
+        f.write("name,city\nJosé,Zürich\n")
+    with open(os.path.join(srcdir, "b.csv"), "wb") as f:
+        f.write("name,city\nRenée,Orléans\n".encode("iso-8859-1"))
+    df = read_csv_with_fallback(spark, srcdir)
+    rows = {(r["name"], r["city"]) for r in df.collect()}
+    assert rows == {("José", "Zürich"), ("Renée", "Orléans")}
+    assert not any("�" in (n or "") for n, _ in rows)
+
+
 def test_psv_null_normalisation(spark, srcdir):
     p = os.path.join(srcdir, "g.psv")
     with open(p, "w") as f:
