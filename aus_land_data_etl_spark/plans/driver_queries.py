@@ -933,6 +933,130 @@ FROM events
 """
 
 
+def q_j7_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: attribute each ``error`` event to the same
+    user's latest preceding non-error event (inclusive, tie-broken by
+    event_id) — the point-in-time lookup CDC consumers run against a
+    versioned table.  The reference resolves these with correlated
+    latest-version subqueries in SQL; Spark has no ASOF JOIN, so
+    ``operators.joins.asof_join`` implements it as one key-partitioned
+    running window over the tagged union (no O(n·m) range join)."""
+    from aus_land_data_etl_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+    )
+    actions = ev.filter(F.col("event_type") != "error").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    out = asof_join(
+        errors,
+        actions,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        tiebreaks=["event_id"],
+        prefix="prior_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("prior_event_id").cast("long").alias("prior_event_id"),
+        "prior_ts",
+        "prior_event_type",
+        "prior_value",
+    )
+
+
+ORACLE_ASOF_ATTRIBUTION = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+cand AS (
+  SELECT er.event_id,
+         a.event_id AS prior_event_id,
+         a.ts AS prior_ts,
+         a.event_type AS prior_event_type,
+         a.value AS prior_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY er.event_id ORDER BY a.ts DESC, a.event_id DESC
+         ) AS rn
+  FROM errors er
+  JOIN events a
+    ON a.user_id = er.user_id
+   AND a.event_type <> 'error'
+   AND a.ts <= er.ts
+)
+SELECT er.event_id, er.user_id, er.ts,
+       c.prior_event_id, c.prior_ts, c.prior_event_type, c.prior_value
+FROM errors er
+LEFT JOIN cand c ON c.event_id = er.event_id AND c.rn = 1
+"""
+
+
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (Iceberg ``VERSION AS OF`` analog): apply the
+    full 4-batch stream, then read the table AT the version committed by
+    batch 1 — the result must equal LWW convergence over the first two
+    batches only, proving later commits never mutate earlier snapshots'
+    files (the property ``expire_snapshots`` retention relies on)."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.merge import DELETED_COL
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_tt_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        v_mid = None
+        for i in range(4):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            v = apply_batch(table, batch, epoch=i)
+            if i == 1:
+                v_mid = v
+        df = table.read_resolved(version=v_mid)
+        if DELETED_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        out = df.select(
+            F.col("url"),
+            F.col("warc_ts"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("text"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# Same LWW convergence as ORACLE_CDC_CONVERGE, restricted to the events
+# the first two micro-batches carried (source_pos % 4 ∈ {0, 1}).
+ORACLE_TIME_TRAVEL = """
+WITH ranked AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts,
+         event_id,
+         event_type,
+         value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+  WHERE event_id % 4 IN (0, 1)
+)
+SELECT url, warc_ts, event_id,
+       event_type || ' value=' || CAST(value AS VARCHAR) AS text
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def q_cdc_compacted_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3/K5 lifecycle: converge, then ``compact()`` (tombstone-dropping
     full rewrite — the REINDEX/rewrite_data_files analog) and
@@ -1476,6 +1600,8 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_compacted_converge": q_cdc_compacted_converge,
     "lake_changelog": q_lake_changelog,
     "incr_agg_view": q_incr_agg_view,
+    "j7_asof_attribution": q_j7_asof_attribution,
+    "lake_time_travel": q_lake_time_travel,
 }
 
 ORACLES: dict[str, str] = {
@@ -1517,6 +1643,8 @@ ORACLES: dict[str, str] = {
     "cdc_compacted_converge": ORACLE_CDC_CONVERGE,
     "lake_changelog": ORACLE_LAKE_CHANGELOG,
     "incr_agg_view": ORACLE_INCR_AGG_VIEW,
+    "j7_asof_attribution": ORACLE_ASOF_ATTRIBUTION,
+    "lake_time_travel": ORACLE_TIME_TRAVEL,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above
     # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are
