@@ -41,6 +41,7 @@ PLAN_QUERIES = [
     "props_json",               # JSON payload projection
     "text_grammar_extract",     # structured regexp grammar
     "text_parcel_expand",       # parcel-list window-function expansion
+    "j7_asof_attribution",      # as-of join: ONE exchange, no range explosion
 ]
 
 
