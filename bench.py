@@ -43,6 +43,7 @@ HEADLINE_QUERIES = [
     "text_parcel_expand",
     "lake_changelog",
     "incr_agg_view",
+    "j7_asof_attribution",
 ]
 
 
@@ -134,16 +135,24 @@ def main() -> None:
         print(f"warm: smoke dir {smoke_dir} missing, warming at {sf_dir}", file=sys.stderr)
         smoke_dir = sf_dir
 
+    # Best-of-N per query, same rationale as bench_cdc: host noise only
+    # ever slows a trial (a single-shot timing once recorded a 28× outlier
+    # on a 4-second query).  All trials are recorded so spread is visible.
+    query_trials: dict[str, list[float]] = {}
+    n_trials = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
     for name in HEADLINE_QUERIES:
         q = QUERIES[name]
         try:
             q(spark, smoke_dir).count()
         except Exception as exc:  # timed run will surface real errors loudly
             print(f"warm: {name} failed at {smoke_dir}: {exc!r}", file=sys.stderr)
-        t0 = time.monotonic()
-        df = q(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        trials: list[float] = []
+        for _ in range(max(1, n_trials)):
+            t0 = time.monotonic()
+            q(spark, sf_dir).count()
+            trials.append(round(time.monotonic() - t0, 3))
+        query_trials[name] = trials
+        timings[name] = min(trials)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -156,6 +165,7 @@ def main() -> None:
                 "sf": sf,
                 "cdc_events": n_applied,
                 "cdc_trials": cdc_trials,
+                "query_trials": query_trials,
                 "events_per_sec": round(n_applied / cdc_sec, 1),
                 "cores": int(cpus),
             }
