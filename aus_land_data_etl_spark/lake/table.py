@@ -510,6 +510,51 @@ class LakeTable:
         self._write_snapshot(new_snap)
         return new_version
 
+    def rebucket(self, n_buckets: int, tiebreak_col: str = "event_id") -> int:
+        """Bucket-count evolution (Iceberg partition-spec evolution analog).
+
+        Buckets are the unit of MERGE write amplification and the ceiling
+        on usable write parallelism, so a table sized for N executors
+        eventually outgrows its bucket count on the way to 10^10 events.
+        This rewrites the LWW-resolved rows — tombstones preserved, they
+        still guard against late updates — into the new layout in ONE
+        snapshot commit (one shuffle on the key).  Earlier snapshots stay
+        readable under their own layout (each descriptor carries its own
+        ``n_buckets``); a changelog read across the boundary falls back to
+        an unpruned diff (``changed_buckets`` returns None) rather than
+        mis-pruning.  Watermarks, the epoch window and lineage manifests
+        carry over untouched — replay protection survives the rewrite.
+        """
+        snap = self.snapshot()
+        if n_buckets == snap.n_buckets:
+            return snap.version
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        resolved = self.read_resolved(tiebreak_col=tiebreak_col)
+        new_version = snap.version + 1
+        df = resolved.repartition(n_buckets, F.col(snap.key_col)).withColumn(
+            BUCKET_COL, bucket_expr(snap.key_col, n_buckets)
+        )
+        bucket_files = self._write_bucket_data(
+            df, new_version, pre_bucketed=True
+        )
+        properties = dict(snap.properties)
+        properties.pop("delta_epochs", None)  # deltas folded by the rewrite
+        new_snap = Snapshot(
+            version=new_version,
+            schema_json=snap.schema_json,
+            n_buckets=n_buckets,
+            key_col=snap.key_col,
+            version_col=snap.version_col,
+            bucket_files=bucket_files,
+            recent_epochs=snap.recent_epochs,
+            watermarks=snap.watermarks,
+            properties=properties,
+            manifest_files=self._next_manifest_files(snap, new_version, None),
+        )
+        self._write_snapshot(new_snap)
+        return new_version
+
     def commit_buckets(
         self,
         replaced: dict[int, DataFrame] | DataFrame,
