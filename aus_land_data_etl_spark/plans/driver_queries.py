@@ -933,6 +933,76 @@ FROM events
 """
 
 
+def q_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the engine over 4 micro-batches, then audit the committed
+    lineage manifests (``cdc.audit.coverage_summary``): per source
+    partition — applied offset span, row count, batch count, duplicate /
+    re-applied offsets, contiguity.  The oracle recomputes the same facts
+    from the raw events (offset = event_id, partition = user_id mod 4,
+    epoch = event_id mod 4), including the running-max overlap algebra —
+    so the manifest trail itself is value-checked, not just row-counted."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.cdc.audit import coverage_summary
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_a_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        for i in range(4):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            apply_batch(table, batch, epoch=i)
+        out = coverage_summary(table).select(
+            F.col("source_partition").cast("long").alias("source_partition"),
+            F.col("first_offset").cast("long").alias("first_offset"),
+            F.col("last_offset").cast("long").alias("last_offset"),
+            F.col("rows_applied").cast("long").alias("rows_applied"),
+            F.col("n_batches").cast("long").alias("n_batches"),
+            F.col("dup_rows").cast("long").alias("dup_rows"),
+            F.col("reapplied_offsets").cast("long").alias("reapplied_offsets"),
+            F.col("contiguous"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# Recompute the manifest coverage from the raw events: one manifest row
+# per (partition = user_id%4, epoch = event_id%4) with offset = event_id,
+# then the same sorted running-max gap/overlap algebra the audit uses.
+ORACLE_LINEAGE_AUDIT = """
+WITH man AS (
+  SELECT user_id % 4 AS source_partition,
+         event_id % 4 AS epoch,
+         MIN(event_id) AS s,
+         MAX(event_id) AS e,
+         COUNT(*) AS rc
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         MAX(e) OVER (
+           PARTITION BY source_partition ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM man
+)
+SELECT source_partition,
+       MIN(s) AS first_offset,
+       MAX(e) AS last_offset,
+       SUM(rc) AS rows_applied,
+       COUNT(*) AS n_batches,
+       CAST(0 AS BIGINT) AS dup_rows,
+       CAST(SUM(CASE WHEN prev_max IS NOT NULL AND s <= prev_max
+                     THEN LEAST(e, prev_max) - s + 1 ELSE 0 END) AS BIGINT)
+         AS reapplied_offsets,
+       SUM(CASE WHEN prev_max IS NOT NULL AND s > prev_max + 1
+                THEN s - prev_max - 1 ELSE 0 END) = 0 AS contiguous
+FROM ranked
+GROUP BY source_partition
+"""
+
+
 def q_j7_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: attribute each ``error`` event to the same
     user's latest preceding non-error event (inclusive, tie-broken by
@@ -1602,6 +1672,7 @@ QUERIES: dict[str, QueryFn] = {
     "incr_agg_view": q_incr_agg_view,
     "j7_asof_attribution": q_j7_asof_attribution,
     "lake_time_travel": q_lake_time_travel,
+    "lineage_audit": q_lineage_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -1645,6 +1716,7 @@ ORACLES: dict[str, str] = {
     "incr_agg_view": ORACLE_INCR_AGG_VIEW,
     "j7_asof_attribution": ORACLE_ASOF_ATTRIBUTION,
     "lake_time_travel": ORACLE_TIME_TRAVEL,
+    "lineage_audit": ORACLE_LINEAGE_AUDIT,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above
     # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are
