@@ -933,6 +933,49 @@ FROM events
 """
 
 
+def q_cdc_rebucket_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution mid-stream: apply two batches into an
+    8-bucket table, ``rebucket(16)`` while the stream is live (unfolded
+    MoR deltas present), apply the remaining two batches into the new
+    layout — final state must STILL equal the LWW oracle, and the replay
+    guard must hold across the boundary (batch 1 re-applied post-rebucket
+    is a no-op)."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.merge import read_current
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_rb_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        for i in range(2):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            apply_batch(table, batch, epoch=i)
+        table.rebucket(16)
+        # replay across the boundary: must be a committed no-op
+        v = table.current_version()
+        apply_batch(
+            table,
+            changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == 1),
+            epoch=1,
+        )
+        assert table.current_version() == v, "replay applied after rebucket"
+        for i in range(2, 4):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            apply_batch(table, batch, epoch=i)
+        out = (
+            read_current(table)
+            .select(
+                F.col("url"),
+                F.col("warc_ts"),
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("text"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the engine over 4 micro-batches, then audit the committed
     lineage manifests (``cdc.audit.coverage_summary``): per source
@@ -1673,6 +1716,7 @@ QUERIES: dict[str, QueryFn] = {
     "j7_asof_attribution": q_j7_asof_attribution,
     "lake_time_travel": q_lake_time_travel,
     "lineage_audit": q_lineage_audit,
+    "cdc_rebucket_converge": q_cdc_rebucket_converge,
 }
 
 ORACLES: dict[str, str] = {
@@ -1717,6 +1761,7 @@ ORACLES: dict[str, str] = {
     "j7_asof_attribution": ORACLE_ASOF_ATTRIBUTION,
     "lake_time_travel": ORACLE_TIME_TRAVEL,
     "lineage_audit": ORACLE_LINEAGE_AUDIT,
+    "cdc_rebucket_converge": ORACLE_CDC_CONVERGE,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above
     # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are
