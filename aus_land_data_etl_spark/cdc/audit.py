@@ -77,9 +77,15 @@ def coverage_summary(table: LakeTable, version: int | None = None) -> DataFrame:
     ``contiguous`` is exact (no gap anywhere in the applied span, not
     just under the watermark prefix).  Duplicates are split by origin:
     ``dup_rows`` — at-least-once transport duplicates *within* batches
-    (row_count − distinct offsets); ``reapplied_offsets`` — offsets
-    covered by more than one committed batch (cross-batch replay that
-    slipped past the epoch guard; LWW-idempotent but alarm-worthy).
+    (row_count − distinct offsets); ``reapplied_offsets`` — a
+    *re-application count*: the sum of each batch's overlap width
+    against the running max of earlier batches' ends, so a range
+    applied N times contributes (N−1)× its width (cross-batch replay
+    that slipped past the epoch guard; LWW-idempotent but
+    alarm-worthy).  It deliberately counts re-deliveries, not the
+    distinct width of the doubly-covered span: "range X replayed 5
+    times" should read 5× worse than "replayed once" on the dashboard
+    (the driver oracle ``ORACLE_LINEAGE_AUDIT`` pins this algebra).
     """
     m = table.manifest_df(version)
     snap = table.snapshot(version)

@@ -76,6 +76,33 @@ RECENT_EPOCH_WINDOW = 128
 MANIFEST_TAIL_MAX = 8
 MANIFEST_TIER_BYTES = 1 << 20
 
+#: Cap on parked out-of-order ranges per watermark namespace; keeps the
+#: descriptor O(1) even under a pathologically shuffled WAL tail.
+PENDING_RANGE_MAX = 64
+
+
+def _fold_pending(
+    cur: int, ranges: list[list[int]]
+) -> tuple[int, list[list[int]]]:
+    """Advance a contiguous-prefix watermark through parked dense ranges.
+
+    Sorted sweep: ranges touching the prefix (start ≤ cur+1) extend it;
+    the rest are kept, coalesced where adjacent/overlapping.  Once one
+    range fails to fold no later (larger-start) range can fold either,
+    so a single pass is exact.
+    """
+    out: list[list[int]] = []
+    for s, e in sorted(tuple(r) for r in ranges):
+        if e <= cur:
+            continue  # already under the prefix
+        if not out and s <= cur + 1:
+            cur = max(cur, e)
+        elif out and s <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return cur, out[:PENDING_RANGE_MAX]
+
 #: Lineage manifest schema — one row per (epoch, source partition).
 MANIFEST_SCHEMA = T.StructType(
     [
@@ -131,6 +158,15 @@ class Snapshot:
     #: source_partition (str) -> end of the contiguously-applied offset
     #: prefix (-1 ≙ nothing applied); see module docstring for soundness
     watermarks: dict[str, int] = field(default_factory=dict)
+    #: dense applied ranges ABOVE the watermark, per namespace — WAL
+    #: batches that committed out of order (1,3,2) park their range here
+    #: until the missing middle lands, then fold into the watermark
+    #: (round-2 verdict #6: without this, wm stalls at end(2) and an old
+    #: replay of batch 3 outside the epoch window re-applies it).
+    #: Bounded to PENDING_RANGE_MAX entries per namespace (overflow drops
+    #: the highest range — loses only the replay fast path, never
+    #: correctness: re-application is LWW-idempotent).
+    pending_ranges: dict[str, list[list[int]]] = field(default_factory=dict)
     properties: dict[str, Any] = field(default_factory=dict)
     #: merge-on-read delta files per bucket (Iceberg v2 style): unresolved
     #: newer rows (incl. tombstones) layered over the base; readers resolve
@@ -181,43 +217,63 @@ class Snapshot:
 
         True iff any of its epoch keys is in the recent window, or its
         manifest's whole offset range per source partition sits at or
-        under that partition's contiguous-prefix watermark.  The watermark
-        path is precise (never a false skip) because watermarks only
-        advance over proven-dense applied ranges.
+        under that partition's contiguous-prefix watermark, or inside one
+        of that partition's parked (dense, above-watermark) pending
+        ranges.  All three paths are precise (never a false skip):
+        watermarks and pending ranges only cover proven-dense applied
+        offsets.
         """
         if any(e in self.recent_epochs for e in _normalize_epoch_ids(epoch_id)):
             return True
         if manifest_rows:
-            return all(
-                int(m["end_offset"]) <= self.watermarks.get(_wm_key(m), -1)
-                for m in manifest_rows
-            )
+            def _covered(m: dict[str, Any]) -> bool:
+                ns = _wm_key(m)
+                start, end = int(m["start_offset"]), int(m["end_offset"])
+                if end <= self.watermarks.get(ns, -1):
+                    return True
+                return any(
+                    s <= start and end <= e
+                    for s, e in self.pending_ranges.get(ns, [])
+                )
+            return all(_covered(m) for m in manifest_rows)
         return False
 
     def advanced_epoch_state(
         self,
         epoch_id: str | list[str] | None,
         manifest_rows: list[dict[str, Any]] | None,
-    ) -> tuple[list[str], dict[str, int]]:
-        """(recent_epochs, watermarks) after committing this batch."""
+    ) -> tuple[list[str], dict[str, int], dict[str, list[list[int]]]]:
+        """(recent_epochs, watermarks, pending_ranges) after committing
+        this batch.  Dense ranges that extend the contiguous prefix
+        advance the watermark directly; dense ranges that arrive AHEAD of
+        a gap (out-of-order WAL tail) park in ``pending_ranges`` and fold
+        in as soon as the gap closes, so 1,3,2 arrival ends with
+        wm = end(3), not end(2)."""
         recent = list(self.recent_epochs)
         for e in _normalize_epoch_ids(epoch_id):
             if e not in recent:
                 recent.append(e)
         recent = recent[-RECENT_EPOCH_WINDOW:]
         wm = dict(self.watermarks)
+        pend = {ns: [list(r) for r in rs] for ns, rs in self.pending_ranges.items()}
+        touched: set[str] = set()
         for m in manifest_rows or []:
             p = _wm_key(m)
-            cur = wm.get(p, -1)
             start = int(m["start_offset"])
             end = int(m["end_offset"])
             # density on DISTINCT offsets: at-least-once duplicates within
             # a batch must not block the watermark
             n_off = int(m.get("distinct_offsets", m["row_count"]))
-            dense = n_off == end - start + 1
-            if dense and start <= cur + 1 and end > cur:
-                wm[p] = end
-        return recent, wm
+            if n_off == end - start + 1 and end > wm.get(p, -1):
+                pend.setdefault(p, []).append([start, end])
+                touched.add(p)
+        for p in touched:
+            wm[p], remaining = _fold_pending(wm.get(p, -1), pend[p])
+            if remaining:
+                pend[p] = remaining
+            else:
+                pend.pop(p, None)
+        return recent, wm, pend
 
 
 class LakeTable:
@@ -504,6 +560,7 @@ class LakeTable:
             bucket_files=bucket_files,
             recent_epochs=snap.recent_epochs,
             watermarks=snap.watermarks,
+            pending_ranges=snap.pending_ranges,
             properties=snap.properties,
             manifest_files=self._next_manifest_files(snap, new_version, None),
         )
@@ -530,7 +587,13 @@ class LakeTable:
             return snap.version
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-        resolved = self.read_resolved(tiebreak_col=tiebreak_col)
+        # read the SAME snapshot the carried-over epoch state comes from:
+        # version=None would re-read the current pointer, and a commit
+        # landing between snapshot() and here would make the rewritten
+        # data inconsistent with recent_epochs/watermarks/manifests
+        resolved = self.read_resolved(
+            version=snap.version, tiebreak_col=tiebreak_col
+        )
         new_version = snap.version + 1
         df = resolved.repartition(n_buckets, F.col(snap.key_col)).withColumn(
             BUCKET_COL, bucket_expr(snap.key_col, n_buckets)
@@ -549,6 +612,7 @@ class LakeTable:
             bucket_files=bucket_files,
             recent_epochs=snap.recent_epochs,
             watermarks=snap.watermarks,
+            pending_ranges=snap.pending_ranges,
             properties=properties,
             manifest_files=self._next_manifest_files(snap, new_version, None),
         )
@@ -604,7 +668,7 @@ class LakeTable:
             # leveled state: depth is the deepest remaining per-bucket stack
             properties["delta_epochs"] = max(len(fs) for fs in delta_files.values())
         properties.update(properties_update or {})
-        recent, watermarks = snap.advanced_epoch_state(epoch_id, wm_rows)
+        recent, watermarks, pending = snap.advanced_epoch_state(epoch_id, wm_rows)
         new_snap = Snapshot(
             version=new_version,
             schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
@@ -614,6 +678,7 @@ class LakeTable:
             bucket_files=bucket_files,
             recent_epochs=recent,
             watermarks=watermarks,
+            pending_ranges=pending,
             properties=properties,
             delta_files=delta_files,
             manifest_files=self._next_manifest_files(snap, new_version, manifest_rows),
@@ -683,7 +748,7 @@ class LakeTable:
             properties["delta_epochs"] = max(
                 [base] + [len(fs) for b, fs in delta_files.items() if b != "*"]
             )
-        recent, watermarks = snap.advanced_epoch_state(epoch_id, wm_rows)
+        recent, watermarks, pending = snap.advanced_epoch_state(epoch_id, wm_rows)
         new_snap = Snapshot(
             version=new_version,
             schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
@@ -693,6 +758,7 @@ class LakeTable:
             bucket_files=snap.bucket_files,
             recent_epochs=recent,
             watermarks=watermarks,
+            pending_ranges=pending,
             properties=properties,
             delta_files=delta_files,
             manifest_files=self._next_manifest_files(snap, new_version, manifest_rows),
@@ -734,6 +800,7 @@ class LakeTable:
             bucket_files=snap.bucket_files,
             recent_epochs=snap.recent_epochs,
             watermarks=snap.watermarks,
+            pending_ranges=snap.pending_ranges,
             properties=properties,
             delta_files=delta_files,
             manifest_files=self._next_manifest_files(snap, new_version, None),

@@ -8,6 +8,8 @@ doesn't spell natively: null-safe composite keys and existence flags.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,6 +100,12 @@ def asof_join(
     them unique per key for determinism).  Right rows with NULL
     ``right_ts`` never match (unknown time).
 
+    NULL keys: SQL equi-join semantics — a right row with a NULL in any
+    key column never matches anything (it is dropped before the union;
+    ``Window.partitionBy`` would otherwise group NULL keys together and
+    silently match NULL-key lefts to NULL-key rights).  Left rows with
+    NULL keys are kept and get NULL payloads, as LEFT JOIN would.
+
     Returns all left columns plus each non-key right column as
     ``<prefix><name>`` (including ``<prefix><right_ts>``).
     """
@@ -111,7 +119,12 @@ def asof_join(
     # left rows sort AFTER right rows at the same timestamp (inclusive
     # visibility); under strict they sort BEFORE them instead.
     l_ord, r_ord = (0, 1) if strict else (1, 0)
-    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
+    r_not_null_keys = reduce(
+        lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+    )
+    r_tagged = right.filter(
+        F.col(right_ts).isNotNull() & r_not_null_keys
+    ).select(
         *keys,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(r_ord).alias("_asof_ord"),

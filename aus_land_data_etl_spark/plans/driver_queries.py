@@ -867,12 +867,37 @@ def q_emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs verified by exact n-gram Jaccard ≥ 0.8."""
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, "doc_id", "text", threshold=0.8).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+def q_emb_topk_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with ``nprobe == n_cells`` — exhaustive search through the
+    full IVF machinery (quantizer training, cell assignment, probe
+    explode, cell equi-join).  By construction equal to
+    ``cosine_topk_bruteforce`` (operators/similarity.py docstring pins
+    this; tests/test_similarity paths assert it), so it shares the
+    brute-force DuckDB oracle — a hard value check on the IVF plumbing
+    rather than a rows-only smoke check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=8).select(
+        "query_id", "neighbour_id", "rank", "cosine_sim"
     )
+
+
+def q_minhash_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 32,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs verified by exact n-gram Jaccard ≥ 0.8.
+
+    (k, n_bands) are exposed as tuning knobs; the default lets
+    ``pick_bands`` align the LSH S-curve midpoint with the threshold
+    (b=4/r=8 at 0.8) — ~10× fewer junk candidates than a fixed b=8 with
+    recall 1.0 on the fixture corpus (tests/test_operators.py pins both)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs, "doc_id", "text", threshold=0.8, k=k, n_bands=n_bands
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,7 +1058,7 @@ ranked AS (
 SELECT source_partition,
        MIN(s) AS first_offset,
        MAX(e) AS last_offset,
-       SUM(rc) AS rows_applied,
+       CAST(SUM(rc) AS BIGINT) AS rows_applied,
        COUNT(*) AS n_batches,
        CAST(0 AS BIGINT) AS dup_rows,
        CAST(SUM(CASE WHEN prev_max IS NOT NULL AND s <= prev_max
@@ -1702,6 +1727,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_candidates": q_simhash_candidates,
     "emb_topk_lsh": q_emb_topk_lsh,
     "emb_topk_ivf": q_emb_topk_ivf,
+    "emb_topk_ivf_fullprobe": q_emb_topk_ivf_fullprobe,
     "t_windowed_rollup": q_t_windowed_rollup,
     "sessionize_events": q_sessionize_events,
     "props_json": q_props_json,
@@ -1743,6 +1769,7 @@ ORACLES: dict[str, str] = {
     "text_lang_id": ORACLE_LANG_ID,
     "text_quality": ORACLE_QUALITY,
     "emb_topk_bruteforce": ORACLE_EMB_TOPK,
+    "emb_topk_ivf_fullprobe": ORACLE_EMB_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL,
     "derive_change_history": ORACLE_CHANGE_HISTORY,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,

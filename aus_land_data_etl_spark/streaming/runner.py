@@ -82,6 +82,8 @@ def run_stream(
     n_salts: int = 8,
     available_now: bool = True,
     views: list | None = None,
+    expire_every: int | None = 16,
+    expire_keep_last: int = 4,
 ) -> StreamResult:
     """Tail the WAL directory into the table; drain and return stats.
 
@@ -91,6 +93,16 @@ def run_stream(
     (O(interval changes)).  Their own exactly-once epoch guards make the
     combined pipeline crash/replay-safe end to end — a re-driven batch is
     a no-op for the table AND for every view.
+
+    ``expire_every`` — every N applied micro-batches, fold outstanding
+    deltas and ``expire_snapshots(keep_last=expire_keep_last)`` so a
+    long-running tail keeps a bounded number of ``data/sNNNNNNNN/``
+    snapshot dirs on disk instead of one per commit (round-2 verdict
+    #8; Iceberg pairs its streaming sinks with periodic
+    expire_snapshots the same way).  ``None`` disables (callers that
+    need time travel over the whole run manage expiry themselves).
+    Time-travel depth shrinks to ``expire_keep_last`` — changelog
+    consumers must keep up within that many epochs.
     """
     registry = SchemaRegistry()
     counters = {"batches": 0, "rows": 0}
@@ -125,6 +137,8 @@ def run_stream(
         )
         for v in views or []:
             v.refresh()
+        if expire_every and counters["batches"] % expire_every == 0:
+            table.expire_snapshots(keep_last=expire_keep_last)
 
     reader = (
         spark.readStream.schema(EVENT_SCHEMA)

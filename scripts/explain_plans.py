@@ -30,7 +30,10 @@ PLAN_QUERIES = [
     "w3_latest_order_per_customer",  # window top-1
     "j3_customers_without_orders",   # anti join
     "dedup_exact",              # hash-groupBy dedup
-    "minhash_dedup",            # shingle explode + agg + band join
+    # minhash_dedup: NOT here — its driver query returns a localCheckpoint,
+    # whose plan is a bare scan (round-2 verdict #10 flagged the 0-shuffle
+    # row as misleading); its real pre-checkpoint stages are digested in
+    # minhash_plan_evidence() below.
     "emb_topk_bruteforce",      # broadcast NL join + JVM dot product
     "emb_neardup_cosine",       # broadcast all-pairs
     "ngram_jaccard_pairs",      # shingle self-join
@@ -219,7 +222,93 @@ def changelog_plan_evidence(spark) -> list[str]:
         "(asserted >= 2: map-side partial combine before the exchange)\n",
         f"- interval bucket pruning: **{len(touched)}/16** buckets read "
         "for a hot-subset interval (asserted strict subset)\n",
+        "- unpruned fallback: an interval spanning a `rebucket` (bucket "
+        "count differs between the snapshots) cannot map buckets across "
+        "layouts, so `changed_buckets` returns None and the diff reads "
+        "BOTH snapshots in full — O(table), once, at the layout boundary; "
+        "correctness across it is pinned by "
+        "`tests/test_changelog.py::test_changelog_across_rebucket_and_expire`\n",
     ]
+
+
+def minhash_plan_evidence(spark, sf_dir: str) -> list[str]:
+    """Plan evidence for the MinHash near-dup pipeline, stage by stage and
+    PRE-checkpoint (the driver query's returned frame is a localCheckpoint
+    whose plan is a bare scan — useless as evidence):
+
+    - no cartesian product / broadcast NL join anywhere: the band
+      self-join and the shingle verify join are equi-joins;
+    - the signature aggregation does map-side partial combine;
+    - the verify stage (estimate prefilter → ngram_jaccard) stays pure
+      JVM (no Python UDF).
+    """
+    from pyspark.sql import functions as F
+
+    from aus_land_data_etl_spark.operators.dedup_ml import (
+        band_pairs,
+        estimated_similarity,
+        minhash_signatures,
+        ngram_jaccard,
+        pick_bands,
+        shingle_rows,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    k, threshold = 32, 0.8
+    b = pick_bands(k, threshold)
+    sh = shingle_rows(docs, "doc_id", "text", 5)
+    sigs = minhash_signatures(sh, k)
+    cands = band_pairs(sigs, k, b)
+    strong = (
+        estimated_similarity(cands, sigs, k)
+        .filter(F.col("est_jaccard") >= threshold - 0.2)
+        .select("id_a", "id_b")
+    )
+    verify = ngram_jaccard(docs, strong, "doc_id", "text", 5, shingles=sh).filter(
+        F.col("jaccard") >= threshold
+    )
+
+    stages = {
+        "signatures (shingle explode → k min-aggs)": formatted_plan(sigs),
+        "band candidates (band self-equi-join)": formatted_plan(cands),
+        "verify (estimate prefilter → shingle equi-join)": formatted_plan(verify),
+    }
+    lines = [
+        "\n## minhash_dedup — real pre-checkpoint stage plans "
+        f"(k={k}, n_bands={b} via pick_bands at threshold {threshold})\n",
+    ]
+    for label, plan in stages.items():
+        d = digest(plan)
+        n_cartesian = len(re.findall(r"^\(\d+\) CartesianProduct", plan, re.M))
+        n_bnlj = len(
+            re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+        )
+        n_pyudf = len(
+            re.findall(
+                r"^\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas)",
+                plan,
+                re.M,
+            )
+        )
+        assert n_cartesian == 0 and n_bnlj == 0, (
+            f"minhash stage '{label}' fell back to an all-pairs join"
+        )
+        assert n_pyudf == 0, f"minhash stage '{label}' left the JVM"
+        lines.append(
+            f"- {label}: {d['shuffle_exchanges']} exchanges, "
+            f"{d['sort_merge_joins']} SMJ / {d['broadcast_joins']} broadcast "
+            f"joins, {d['wscg_spans']} WSCG spans; cartesian/BNLJ/pyUDF "
+            "nodes asserted = 0\n"
+        )
+    sig_plan = stages["signatures (shingle explode → k min-aggs)"]
+    n_hashagg = len(re.findall(r"^\(\d+\) (?:Hash|ObjectHash)Aggregate", sig_plan, re.M))
+    assert n_hashagg >= 2, "signature agg lost its map-side partial"
+    lines.append(
+        f"- signature aggregation HashAggregate nodes: **{n_hashagg}** "
+        "(asserted >= 2: partial min per map task before the doc_id "
+        "exchange)\n"
+    )
+    return lines
 
 
 def main() -> None:
@@ -260,6 +349,7 @@ def main() -> None:
         )
     details.extend(cdc_plan_evidence(spark))
     details.extend(changelog_plan_evidence(spark))
+    details.extend(minhash_plan_evidence(spark, sf_dir))
     out = "\n".join(lines) + "\n" + "".join(details)
     Path(_REPO, "PLANS.md").write_text(out)
     print(out)

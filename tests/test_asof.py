@@ -151,3 +151,29 @@ def test_asof_matches_naive_range_join(spark):
         ]
         naive[lid] = max(best)[1] if best else None
     assert got == naive
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL equi-join semantics (round-2 ADVICE): a NULL-key right row
+    must not match a NULL-key left row (Window.partitionBy would group
+    the NULLs together); the NULL-key left row survives with NULL
+    payloads, like LEFT JOIN."""
+    left = spark.createDataFrame(
+        [
+            (1, None, _ts("2024-01-10T00:00:00")),
+            (2, "k1", _ts("2024-01-10T00:00:00")),
+        ],
+        "lid int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, None, _ts("2024-01-05T00:00:00"), 1.0),  # must never match
+            (11, "k1", _ts("2024-01-05T00:00:00"), 2.0),
+        ],
+        "rid int, k string, ts timestamp, v double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", tiebreaks=["rid"]
+    )
+    got = {r["lid"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
+    assert got == {1: (None, None), 2: (11, 2.0)}

@@ -80,3 +80,24 @@ def test_overlap_detection(spark, tmp_table_dir):
     for c in cov:
         assert c["reapplied_offsets"] == 50  # full 0-49 span re-applied
         assert c["contiguous"]
+
+
+def test_reapplied_is_a_replay_count_not_distinct_width(spark, tmp_table_dir):
+    """Pin the documented semantics: ``reapplied_offsets`` counts
+    re-deliveries against the running max — a span applied N times
+    contributes (N−1)× its width, NOT the distinct doubly-covered
+    width.  Three applications of the same 50-offset span per
+    partition → 2×50 = 100."""
+    t = create_pages_table(spark, tmp_table_dir, n_buckets=4)
+    ev = generate_events(spark, 100, seed=7, n_source_partitions=2)
+    apply_batch(t, ev, epoch=0, wal_offsets=True)
+    for i in (1, 2):
+        bumped = ev.withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr(f"INTERVAL {i} SECOND")
+        )
+        apply_batch(t, bumped, epoch=i, wal_offsets=False)
+    cov = coverage_summary(t).collect()
+    assert len(cov) == 2
+    for c in cov:
+        assert c["reapplied_offsets"] == 100  # (3-1) × 50, not 50
+        assert c["contiguous"]

@@ -253,3 +253,41 @@ def test_history_metadata(spark, table3):
     assert all(r["n_buckets"] == 4 for r in h.values())
     # file counts are monotone-ish evidence, columns stable at PAGES width
     assert h[v[3]]["n_base_files"] + h[v[3]]["n_delta_files"] > 0
+
+
+def test_changelog_across_rebucket_and_expire(spark, table3):
+    """Round-2 verdict #9: a changelog interval spanning a bucket-count
+    change can't bucket-prune (``changed_buckets`` returns None — all
+    buckets) but must still return the correct net diff; an
+    ``expire_snapshots`` that drops the intermediate snapshots between
+    the two endpoints must not disturb it either."""
+    t, v = table3
+    pre = v[3]
+    t.rebucket(8)
+    e3 = [
+        _ev(8, "update", "https://a.example.com/3", 30, "u3 v2"),
+        _ev(9, "insert", "https://a.example.com/5", 30, "u5 v1"),
+    ]
+    apply_batch(t, _events_df(spark, e3), epoch=3)
+    cur = t.current_version()
+
+    # pruning is declared impossible, not silently wrong
+    assert changed_buckets(t, pre, cur) is None
+
+    ch = read_changes(t, pre, cur)
+    by = {r["url"].rsplit("/", 1)[1]: r for r in ch.collect()}
+    assert {u: r["change_type"] for u, r in by.items()} == {
+        "3": "update",
+        "5": "insert",
+    }
+    assert "u3 v2" in by["3"]["text"]  # after image, not the pre-rebucket row
+
+    # history OLDER than the interval expired (expire keeps the
+    # contiguous tail [pre, cur]): the diff only needs its endpoints
+    # and the files they reference, so it is unchanged
+    t.expire_snapshots(keep_last=cur - pre + 1)
+    ch2 = {
+        (r["url"], r["change_type"])
+        for r in read_changes(t, pre, cur).select("url", "change_type").collect()
+    }
+    assert ch2 == {(r["url"], r["change_type"]) for r in ch.collect()}

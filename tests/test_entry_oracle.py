@@ -75,6 +75,31 @@ def test_query_matches_oracle(spark, name):
         )
 
 
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_no_hugeint(name):
+    """Oracle-lint: DuckDB widens SUM(BIGINT) to HUGEINT (int128), which
+    can never hash-match Spark's bigint even when values are identical —
+    the artifact that cost rounds 1 AND 2 one red row each
+    (derive_change_history, lineage_audit).  DESCRIBE every oracle and
+    reject any int128 output column at the source."""
+    sql = entrymod.oracle_sql()[name]
+    con = _duck()
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchdf()
+    finally:
+        con.close()
+    bad = [
+        (r["column_name"], r["column_type"])
+        for _, r in desc.iterrows()
+        if "HUGEINT" in str(r["column_type"]).upper()
+    ]
+    assert not bad, (
+        f"{name}: oracle emits HUGEINT column(s) {bad} — wrap the "
+        f"aggregate in CAST(... AS BIGINT) so the driver's value hash "
+        f"can match Spark's bigint"
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     q = entrymod.queries()[name]

@@ -285,3 +285,83 @@ def test_jaccard_stop_shingle_cap(spark):
     }
     assert (1, 2) in tight  # discriminative overlap survives
     assert (1, 3) not in tight and (2, 3) not in tight  # boilerplate-only pairs gone
+
+
+def test_pick_bands_aligns_midpoint_with_threshold():
+    """S-curve midpoint (1/b)^(1/r) closest to the dedup threshold."""
+    from aus_land_data_etl_spark.operators.dedup_ml import (
+        lsh_collision_prob,
+        pick_bands,
+    )
+
+    assert pick_bands(32, 0.8) == 4   # r=8, midpoint 0.841
+    assert pick_bands(32, 0.5) == 8   # r=4, midpoint 0.595
+    assert pick_bands(16, 0.8) == 4   # r=4, midpoint 0.707 beats b=2's 0.917
+    # junk-pair collision probability drops ~25x from b=8 to b=4 at j=0.5
+    assert lsh_collision_prob(0.5, 32, 4) < lsh_collision_prob(0.5, 32, 8) / 20
+    # while a true j=0.95 near-dup still collides almost surely
+    assert lsh_collision_prob(0.95, 32, 4) > 0.98
+
+
+def test_minhash_banding_tradeoff_sf001(spark):
+    """Round-2 verdict #3/#4: the tuned banding (b=4/r=8 at threshold
+    0.8) must admit several-fold fewer LSH candidates than the old fixed
+    b=8 while the verified output still equals the exact
+    ``jaccard_all_pairs`` ground truth (recall 1.0, and precision 1.0 by
+    construction) on the sf0.01 documents corpus."""
+    from aus_land_data_etl_spark.operators.dedup_ml import (
+        jaccard_all_pairs,
+        minhash_lsh_candidates,
+        pick_bands,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_all_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert truth, "fixture corpus must contain >=1 true near-dup pair"
+
+    n_cands = {}
+    for b in (8, pick_bands(32, 0.8)):
+        n_cands[b] = minhash_lsh_candidates(
+            docs, "doc_id", "text", k=32, n_bands=b
+        ).count()
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_dedup(
+                docs, "doc_id", "text", threshold=0.8, k=32, n_bands=b
+            ).collect()
+        }
+        assert got == truth, f"n_bands={b}: recall/precision broken"
+    assert n_cands[4] < n_cands[8] / 3, n_cands
+
+
+def test_minhash_dedup_leaves_no_cached_rdds(spark):
+    """Round-2 verdict #4: the ngram_jaccard semi-join cache leaked one
+    RDD per invocation.  The returned frame is a localCheckpoint — ONE
+    persisted RDD per result is its legitimate storage — so persist
+    growth per invocation must be exactly 1, not 2 (the leak)."""
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i % 3} with shared shingle text here")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+
+    def _n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = _n_persisted()
+    results = [
+        minhash_dedup(docs, "doc_id", "text", threshold=0.5) for _ in range(2)
+    ]
+    for r in results:
+        r.collect()
+    grown = _n_persisted() - before
+    assert grown <= 2, (
+        f"expected <=1 persisted RDD (the localCheckpoint) per invocation,"
+        f" got +{grown} after 2 invocations — an operator-internal cache "
+        f"is leaking"
+    )

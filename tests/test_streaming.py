@@ -173,3 +173,33 @@ def test_stream_maintains_agg_view_inline(spark, dirs):
     assert table.current_version() == tv
     assert view.table.current_version() == vv
     assert rows(view.read()) == rows(full_compute(view))
+
+
+def test_long_run_bounds_snapshot_dirs_on_disk(spark, dirs):
+    """Round-2 verdict #8: every commit creates data/sNNNNNNNN/; a
+    long-running tail must reclaim them automatically.  20 micro-batches
+    with expire_every=4, keep_last=2 → on-disk snapshot dirs stay
+    bounded (≤ keep_last + one expire window of commits), convergence
+    intact."""
+    events = generate_events(spark, N, seed=14)
+    write_event_log(events, dirs["wal"], n_files=20)
+    table = create_pages_table(spark, dirs["table"], n_buckets=4)
+    res = run_stream(
+        spark,
+        table,
+        dirs["wal"],
+        dirs["ckpt"],
+        max_files_per_trigger=1,
+        expire_every=4,
+        expire_keep_last=2,
+    )
+    assert res.batches == 20
+    data_dir = os.path.join(dirs["table"], "data")
+    dirs_on_disk = [d for d in os.listdir(data_dir) if d.startswith("s")]
+    # apply_batch commits ≤2 versions per batch (delta + occasional fold):
+    # worst case keep_last + 4 batches × 2 commits since the last expire
+    assert len(dirs_on_disk) <= 2 + 4 * 2, sorted(dirs_on_disk)
+    got = read_current(table).select(
+        "url", "warc_ts", "event_id", "text", "lang", "fetch_status"
+    )
+    assert _fingerprint(got) == _expected(events)
