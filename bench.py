@@ -7,7 +7,15 @@ and (b) the headline relational/training-data queries at
 ``local[$SPARK_GRAFT_CPUS]``.
 
 Extra keys beyond the driver contract: ``events_per_sec`` (the
-BASELINE.json metric), ``cdc_events``.
+BASELINE.json metric), ``cdc_events``, and **host-probe stamps**
+(round-3 verdict task #3): a short pure-CPU machine-ceiling probe
+(``scripts/cpu_ceiling.measure`` — no engine, no JVM) runs before every
+CDC trial, once after the last, and around the query block; its
+efficiency ceilings are recorded in ``cdc_probe_ceilings`` /
+``query_probe_ceilings``.  A recorded timing taken while the probes
+read < 0.8 is the host throttling, not the engine — the artifact now
+says so itself instead of leaving a fake regression in the record
+(round 2's minhash 170 s entry was exactly that).
 Run ``python scripts/scaling_bench.py`` for the two-parallelism scaling
 evidence (local[8] vs local[32] → BASELINE.md).
 """
@@ -47,8 +55,29 @@ HEADLINE_QUERIES = [
 ]
 
 
+def host_probe(low: int = 8, high: int = 32) -> float | None:
+    """Machine parallel-scaling ceiling right now: (t_low/t_high)/(high/low)
+    over sha256 worker processes (~3 s).  None if the probe is unavailable."""
+    try:
+        scripts = os.path.join(_REPO, "scripts")
+        if scripts not in sys.path:
+            sys.path.insert(0, scripts)
+        from cpu_ceiling import measure
+    except Exception:
+        return None
+    units = high * 20
+    t_low = measure(low, units)
+    t_high = measure(high, units)
+    return round((t_low / t_high) / (high / low), 3)
+
+
 def bench_cdc(
-    spark, n_events: int, n_batches: int = 4, n_buckets: int = 32, trials: int = 3
+    spark,
+    n_events: int,
+    n_batches: int = 4,
+    n_buckets: int = 32,
+    trials: int = 3,
+    probe_log: list | None = None,
 ):
     """Apply a freshly generated event log through the engine; return
     (best seconds across trials, events applied, per-trial seconds).
@@ -88,6 +117,8 @@ def bench_cdc(
         shutil.rmtree(scratch_dir, ignore_errors=True)
         trial_secs: list[float] = []
         for trial in range(max(1, trials)):
+            if probe_log is not None:
+                probe_log.append(host_probe())
             trial_dir = tempfile.mkdtemp(prefix="bench_trial_", dir=d)
             table = create_pages_table(spark, trial_dir, n_buckets=n_buckets)
             t0 = time.monotonic()
@@ -99,6 +130,8 @@ def bench_cdc(
             read_current(table).count()  # converged read is part of the job
             trial_secs.append(round(time.monotonic() - t0, 3))
             shutil.rmtree(trial_dir, ignore_errors=True)
+        if probe_log is not None:
+            probe_log.append(host_probe())
         events.unpersist()
         return min(trial_secs), total, trial_secs
     finally:
@@ -120,7 +153,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    cdc_sec, n_applied, cdc_trials = bench_cdc(spark, cdc_events)
+    cdc_probes: list = []
+    cdc_sec, n_applied, cdc_trials = bench_cdc(
+        spark, cdc_events, probe_log=cdc_probes
+    )
     timings["cdc_apply"] = round(cdc_sec, 3)
 
     # Warm pass at the smoke scale: each query's first execution pays
@@ -139,6 +175,7 @@ def main() -> None:
     # ever slows a trial (a single-shot timing once recorded a 28× outlier
     # on a 4-second query).  All trials are recorded so spread is visible.
     query_trials: dict[str, list[float]] = {}
+    query_probes = {"before": host_probe()}
     n_trials = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
     for name in HEADLINE_QUERIES:
         q = QUERIES[name]
@@ -154,7 +191,9 @@ def main() -> None:
         query_trials[name] = trials
         timings[name] = min(trials)
 
+    query_probes["after"] = host_probe()
     total = round(sum(timings.values()), 3)
+    probes_seen = [p for p in cdc_probes + list(query_probes.values()) if p]
     print(
         json.dumps(
             {
@@ -168,6 +207,10 @@ def main() -> None:
                 "query_trials": query_trials,
                 "events_per_sec": round(n_applied / cdc_sec, 1),
                 "cores": int(cpus),
+                "cdc_probe_ceilings": cdc_probes,
+                "query_probe_ceilings": query_probes,
+                "host_healthy": bool(probes_seen)
+                and min(probes_seen) >= 0.8,
             }
         )
     )
