@@ -5,7 +5,7 @@ Layout::
     <root>/
       _snapshots/v00000001.json   # immutable snapshot descriptors
       _snapshots/_VERSION         # atomic pointer to current version
-      data/s00000001/_bucket=N/*.parquet
+      data/s00000001-<hex>/bucket_id=N/*.parquet   # commit-unique dirs
 
 A snapshot descriptor records: table schema (json), bucket count, key /
 version columns, the file list per bucket, the accumulated per-epoch
@@ -116,6 +116,27 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("checksum", T.StringType()),
     ]
 )
+
+
+class ConflictError(RuntimeError):
+    """A commit lost the optimistic-concurrency race in a way that cannot
+    be rebased automatically (bucket layout changed mid-commit, or the
+    descriptor race was lost more than ``max_retries`` times)."""
+
+
+def _union_schema(base: T.StructType, added: T.StructType) -> T.StructType:
+    """Field-name union for commit rebase: every ``base`` field (keeps
+    columns a racing committer may have added) in ``base`` order, but a
+    same-named field takes ``added``'s type — ``added`` is this batch's
+    superset schema, already computed as union(current, batch), so it
+    carries any type widening (int→long) the batch performed — plus the
+    fields only ``added`` knows about."""
+    ours = {f.name: f for f in added.fields}
+    merged = [ours.get(f.name, f) for f in base.fields]
+    have = {f.name for f in base.fields}
+    return T.StructType(
+        merged + [f for f in added.fields if f.name not in have]
+    )
 
 
 def _normalize_epoch_ids(epoch_id) -> list[str]:
@@ -522,7 +543,13 @@ class LakeTable:
         the frame (bucket_expr matches Spark's hash partitioning), so no
         extra shuffle is added here.
         """
-        rel_dir = os.path.join("data", f"s{snapshot_version:08d}")
+        # commit-unique suffix: two optimistic committers may attempt the
+        # same version number; same-named dirs + mode("overwrite") would
+        # let the racer clobber the loser's files mid-commit.  Snapshots
+        # reference files by path, so the name only needs uniqueness.
+        rel_dir = os.path.join(
+            "data", f"s{snapshot_version:08d}-{uuid.uuid4().hex[:8]}"
+        )
         out_dir = os.path.join(self.root, rel_dir)
         if not pre_bucketed:
             snap = self.snapshot()
@@ -641,57 +668,97 @@ class LakeTable:
         offset watermarks participate in replay skipping and advance; an
         ad-hoc batch source may reuse offsets, which would make the
         watermark unsound.
+
+        Optimistic concurrency: on losing the descriptor race, the commit
+        rebases IFF the winner did not touch this rewrite's inputs — the
+        touched buckets' base+delta file lists, the fanout ("*") delta set
+        (it spans every bucket) and the bucket count must all be unchanged
+        from the snapshot the rewrite was computed against.  Anything else
+        (e.g. a delta append to a bucket we are rewriting: our rewrite
+        would silently supersede rows it never read) raises
+        ``ConflictError`` and the caller re-runs the merge.
         """
         snap = self.snapshot()
+        orig = snap
         wm_rows = manifest_rows if wal_offsets else None
         if snap.is_applied(epoch_id, wm_rows):
             return snap.version  # exactly-once: batch already applied
         new_version = snap.version + 1
         assert isinstance(replaced, DataFrame)
         new_files = self._write_bucket_data(replaced, new_version, pre_bucketed)
-        bucket_files = dict(snap.bucket_files)
-        delta_files = dict(snap.delta_files)
-        for b in touched_buckets:
-            bucket_files.pop(str(b), None)
-            # base rewrite supersedes any deltas layered on these buckets
-            delta_files.pop(str(b), None)
-        # fanout deltas span every bucket — superseded only by a full fold
-        if set(touched_buckets) >= set(range(snap.n_buckets)):
-            delta_files.pop("*", None)
-        # A touched bucket that ends up empty (all rows deleted) simply has
-        # no files in the new snapshot.
-        bucket_files.update(new_files)
-        properties = dict(snap.properties)
-        if not delta_files:
-            properties.pop("delta_epochs", None)
-        elif "*" not in delta_files:
-            # leveled state: depth is the deepest remaining per-bucket stack
-            properties["delta_epochs"] = max(len(fs) for fs in delta_files.values())
-        properties.update(properties_update or {})
-        recent, watermarks, pending = snap.advanced_epoch_state(epoch_id, wm_rows)
-        new_snap = Snapshot(
-            version=new_version,
-            schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
-            n_buckets=snap.n_buckets,
-            key_col=snap.key_col,
-            version_col=snap.version_col,
-            bucket_files=bucket_files,
-            recent_epochs=recent,
-            watermarks=watermarks,
-            pending_ranges=pending,
-            properties=properties,
-            delta_files=delta_files,
-            manifest_files=self._next_manifest_files(snap, new_version, manifest_rows),
-        )
-        self._write_snapshot(new_snap)
-        return new_version
+        while True:
+            bucket_files = dict(snap.bucket_files)
+            delta_files = dict(snap.delta_files)
+            for b in touched_buckets:
+                bucket_files.pop(str(b), None)
+                # base rewrite supersedes any deltas layered on these buckets
+                delta_files.pop(str(b), None)
+            # fanout deltas span every bucket — superseded only by a full fold
+            if set(touched_buckets) >= set(range(snap.n_buckets)):
+                delta_files.pop("*", None)
+            # A touched bucket that ends up empty (all rows deleted) simply has
+            # no files in the new snapshot.
+            bucket_files.update(new_files)
+            properties = dict(snap.properties)
+            if not delta_files:
+                properties.pop("delta_epochs", None)
+            elif "*" not in delta_files:
+                # leveled state: depth is the deepest remaining per-bucket stack
+                properties["delta_epochs"] = max(len(fs) for fs in delta_files.values())
+            properties.update(properties_update or {})
+            recent, watermarks, pending = snap.advanced_epoch_state(epoch_id, wm_rows)
+            new_snap = Snapshot(
+                version=new_version,
+                schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
+                n_buckets=snap.n_buckets,
+                key_col=snap.key_col,
+                version_col=snap.version_col,
+                bucket_files=bucket_files,
+                recent_epochs=recent,
+                watermarks=watermarks,
+                pending_ranges=pending,
+                properties=properties,
+                delta_files=delta_files,
+                manifest_files=self._next_manifest_files(snap, new_version, manifest_rows),
+            )
+            try:
+                self._write_snapshot(new_snap)
+                return new_version
+            except FileExistsError:
+                snap = self.snapshot()
+                if snap.is_applied(epoch_id, wm_rows):
+                    return snap.version  # racer applied this very batch
+                same_inputs = (
+                    snap.n_buckets == orig.n_buckets
+                    and snap.delta_files.get("*", []) == orig.delta_files.get("*", [])
+                    and all(
+                        snap.bucket_files.get(str(b), [])
+                        == orig.bucket_files.get(str(b), [])
+                        and snap.delta_files.get(str(b), [])
+                        == orig.delta_files.get(str(b), [])
+                        for b in touched_buckets
+                    )
+                )
+                if not same_inputs:
+                    raise ConflictError(
+                        "concurrent commit touched the buckets this rewrite "
+                        f"read ({touched_buckets}); re-run the merge against "
+                        "the fresh snapshot"
+                    ) from None
+                new_version = snap.version + 1
 
     def _write_fanout_data(self, df: DataFrame, snapshot_version: int) -> list[str]:
         """Write delta rows with NO shuffle: whatever partitioning the
         batch already has goes straight to parquet.  Clustering by bucket
         is deferred to the next fold (the Iceberg fanout-writer tradeoff:
         zero write-side exchange, coarser read pruning until compaction)."""
-        rel_dir = os.path.join("data", f"s{snapshot_version:08d}")
+        # commit-unique suffix: two optimistic committers may attempt the
+        # same version number; same-named dirs + mode("overwrite") would
+        # let the racer clobber the loser's files mid-commit.  Snapshots
+        # reference files by path, so the name only needs uniqueness.
+        rel_dir = os.path.join(
+            "data", f"s{snapshot_version:08d}-{uuid.uuid4().hex[:8]}"
+        )
         out_dir = os.path.join(self.root, rel_dir)
         df.write.mode("overwrite").parquet(out_dir)
         return sorted(
@@ -709,6 +776,7 @@ class LakeTable:
         pre_bucketed: bool = False,
         fanout: bool = False,
         wal_offsets: bool = False,
+        max_retries: int = 5,
     ) -> int:
         """Merge-on-read commit: append the batch's rows as delta files.
 
@@ -717,54 +785,95 @@ class LakeTable:
         compacts.  This is what bounds write amplification on a 10^10-event
         stream (SURVEY §7.4.7): CoW rewrites O(table) per epoch, MoR
         defers that to compaction across many epochs.
+
+        Optimistic concurrency (Iceberg's commit loop): the data files are
+        written ONCE; if another committer wins the descriptor O_EXCL race,
+        the metadata — delta lists, epoch window, watermarks, schema — is
+        rebuilt against the *fresh* snapshot and the commit retried (a
+        delta append conflicts with nothing: it only adds files).  The
+        racer's state is preserved, including a schema it may have evolved
+        (field-name union).  Two exceptions re-raise instead of retrying:
+        the racer already applied this same batch (exactly-once guard →
+        return, no-op) and a rebucket changed the bucket layout our
+        pre-bucketed files were written for (``ConflictError`` — caller
+        re-applies against the new layout).
         """
         snap = self.snapshot()
         wm_rows = manifest_rows if wal_offsets else None
         if snap.is_applied(epoch_id, wm_rows):
             return snap.version
+        orig_buckets = snap.n_buckets
         new_version = snap.version + 1
-        delta_files = {k: list(v) for k, v in snap.delta_files.items()}
+        # data is written once, under the first attempted version's dir;
+        # later attempts re-reference the same files (snapshot file lists
+        # are plain relative paths — expire reclaims by reference, not by
+        # directory name, so a renumbered commit keeps them live)
         if fanout:
-            delta_files.setdefault("*", []).extend(
-                self._write_fanout_data(winners, new_version)
-            )
+            written_star = self._write_fanout_data(winners, new_version)
         else:
-            new_files = self._write_bucket_data(winners, new_version, pre_bucketed)
-            for b, fs in new_files.items():
-                delta_files.setdefault(b, []).extend(fs)
-        properties = dict(snap.properties)
-        if fanout:
-            # each fanout commit deepens the unclustered "*" backlog by one
-            properties["delta_epochs"] = int(properties.get("delta_epochs", 0)) + 1
-        else:
-            # leveled state: the trigger is the DEEPEST per-bucket stack,
-            # not the commit count — otherwise shallow wide stacks would
-            # re-arm a fold that has nothing to do on every single epoch
-            base = (
-                int(properties.get("delta_epochs", 0))
-                if "*" in delta_files
-                else 0
+            written_buckets = self._write_bucket_data(
+                winners, new_version, pre_bucketed
             )
-            properties["delta_epochs"] = max(
-                [base] + [len(fs) for b, fs in delta_files.items() if b != "*"]
+        for _attempt in range(max_retries + 1):
+            delta_files = {k: list(v) for k, v in snap.delta_files.items()}
+            if fanout:
+                delta_files.setdefault("*", []).extend(written_star)
+            else:
+                for b, fs in written_buckets.items():
+                    delta_files.setdefault(b, []).extend(fs)
+            properties = dict(snap.properties)
+            if fanout:
+                # each fanout commit deepens the unclustered "*" backlog by one
+                properties["delta_epochs"] = int(properties.get("delta_epochs", 0)) + 1
+            else:
+                # leveled state: the trigger is the DEEPEST per-bucket stack,
+                # not the commit count — otherwise shallow wide stacks would
+                # re-arm a fold that has nothing to do on every single epoch
+                base = (
+                    int(properties.get("delta_epochs", 0))
+                    if "*" in delta_files
+                    else 0
+                )
+                properties["delta_epochs"] = max(
+                    [base] + [len(fs) for b, fs in delta_files.items() if b != "*"]
+                )
+            recent, watermarks, pending = snap.advanced_epoch_state(epoch_id, wm_rows)
+            if schema is not None:
+                schema_json = json.dumps(
+                    _union_schema(snap.schema, schema).jsonValue()
+                )
+            else:
+                schema_json = snap.schema_json
+            new_snap = Snapshot(
+                version=new_version,
+                schema_json=schema_json,
+                n_buckets=snap.n_buckets,
+                key_col=snap.key_col,
+                version_col=snap.version_col,
+                bucket_files=snap.bucket_files,
+                recent_epochs=recent,
+                watermarks=watermarks,
+                pending_ranges=pending,
+                properties=properties,
+                delta_files=delta_files,
+                manifest_files=self._next_manifest_files(snap, new_version, manifest_rows),
             )
-        recent, watermarks, pending = snap.advanced_epoch_state(epoch_id, wm_rows)
-        new_snap = Snapshot(
-            version=new_version,
-            schema_json=json.dumps(schema.jsonValue()) if schema is not None else snap.schema_json,
-            n_buckets=snap.n_buckets,
-            key_col=snap.key_col,
-            version_col=snap.version_col,
-            bucket_files=snap.bucket_files,
-            recent_epochs=recent,
-            watermarks=watermarks,
-            pending_ranges=pending,
-            properties=properties,
-            delta_files=delta_files,
-            manifest_files=self._next_manifest_files(snap, new_version, manifest_rows),
+            try:
+                self._write_snapshot(new_snap)
+                return new_version
+            except FileExistsError:
+                snap = self.snapshot()  # racer won: rebase on its state
+                if snap.is_applied(epoch_id, wm_rows):
+                    return snap.version  # racer applied this very batch
+                if not fanout and snap.n_buckets != orig_buckets:
+                    raise ConflictError(
+                        f"bucket layout changed {orig_buckets}→{snap.n_buckets} "
+                        "mid-commit; re-apply the batch against the new layout"
+                    ) from None
+                new_version = snap.version + 1
+        raise ConflictError(
+            f"lost the descriptor race {max_retries + 1} times in a row"
         )
-        self._write_snapshot(new_snap)
-        return new_version
 
     def commit_clustered_deltas(self, clustered: DataFrame) -> int:
         """L0→L1 reorganisation: replace the fanout (``"*"``) delta files
@@ -776,37 +885,66 @@ class LakeTable:
         fanout epochs are first clustered (cost O(unfolded batches)), and
         only buckets whose stacks then exceed the fold threshold pay a
         base rewrite.
+
+        Optimistic concurrency: the rewrite's only input is the ``"*"``
+        file set read at entry, so a lost descriptor race rebases by
+        keeping everything the winner committed and replacing just those
+        input files — fanout files the winner ADDED stay in ``"*"``;
+        if the winner folded or clustered the same files itself, our
+        layers re-add rows the table already holds, which LWW resolution
+        absorbs (identical versions — wasted bytes until the next fold,
+        never wrong results).
         """
         snap = self.snapshot()
         if "*" not in snap.delta_files:
             return snap.version
+        input_star = set(snap.delta_files["*"])
         new_version = snap.version + 1
         new_files = self._write_bucket_data(clustered, new_version, pre_bucketed=True)
-        delta_files = {
-            k: list(v) for k, v in snap.delta_files.items() if k != "*"
-        }
-        for b, fs in new_files.items():
-            delta_files.setdefault(b, []).extend(fs)
-        properties = dict(snap.properties)
-        properties["delta_epochs"] = max(
-            (len(fs) for fs in delta_files.values()), default=0
-        )
-        new_snap = Snapshot(
-            version=new_version,
-            schema_json=snap.schema_json,
-            n_buckets=snap.n_buckets,
-            key_col=snap.key_col,
-            version_col=snap.version_col,
-            bucket_files=snap.bucket_files,
-            recent_epochs=snap.recent_epochs,
-            watermarks=snap.watermarks,
-            pending_ranges=snap.pending_ranges,
-            properties=properties,
-            delta_files=delta_files,
-            manifest_files=self._next_manifest_files(snap, new_version, None),
-        )
-        self._write_snapshot(new_snap)
-        return new_version
+        for _attempt in range(6):
+            delta_files = {
+                k: list(v) for k, v in snap.delta_files.items() if k != "*"
+            }
+            leftover_star = [
+                f for f in snap.delta_files.get("*", []) if f not in input_star
+            ]
+            if leftover_star:
+                delta_files["*"] = leftover_star
+            for b, fs in new_files.items():
+                delta_files.setdefault(b, []).extend(fs)
+            properties = dict(snap.properties)
+            # depth of the deepest stack; leftover fanout files each came
+            # from one commit, so they count as that much backlog
+            properties["delta_epochs"] = max(
+                [len(leftover_star)]
+                + [len(fs) for b, fs in delta_files.items() if b != "*"]
+            )
+            new_snap = Snapshot(
+                version=new_version,
+                schema_json=snap.schema_json,
+                n_buckets=snap.n_buckets,
+                key_col=snap.key_col,
+                version_col=snap.version_col,
+                bucket_files=snap.bucket_files,
+                recent_epochs=snap.recent_epochs,
+                watermarks=snap.watermarks,
+                pending_ranges=snap.pending_ranges,
+                properties=properties,
+                delta_files=delta_files,
+                manifest_files=self._next_manifest_files(snap, new_version, None),
+            )
+            try:
+                self._write_snapshot(new_snap)
+                return new_version
+            except FileExistsError:
+                snap = self.snapshot()
+                if snap.n_buckets != new_snap.n_buckets:
+                    raise ConflictError(
+                        "bucket layout changed mid-clustering; re-run "
+                        "against the new layout"
+                    ) from None
+                new_version = snap.version + 1
+        raise ConflictError("lost the descriptor race 6 times in a row")
 
     def max_delta_depth(self) -> int:
         """Number of unfolded delta commits (compaction trigger)."""
