@@ -240,3 +240,48 @@ def test_out_of_order_commits_backfill_watermark(
     # batches 0+1+2): replay of batch 1 outside the window is also a no-op
     apply_batch(table, batches[1], epoch=1, wal_offsets=True)
     assert table.current_version() == v_mid
+
+
+def test_pending_ranges_bounded_under_shuffled_wal():
+    """Driver-only: a pathologically shuffled WAL tail (every other range
+    missing, then filled) keeps pending_ranges ≤ PENDING_RANGE_MAX per
+    namespace, and filling the gaps folds everything into the watermark."""
+    from aus_land_data_etl_spark.lake.table import (
+        PENDING_RANGE_MAX,
+        Snapshot,
+    )
+
+    snap = Snapshot(
+        version=0, schema_json="{}", n_buckets=4, key_col="url",
+        version_col="warc_ts", bucket_files={},
+    )
+
+    def commit(s, start, end, epoch):
+        m = [{
+            "source_partition": 0, "source_file": "w", "epoch": epoch,
+            "start_offset": start, "end_offset": end,
+            "row_count": end - start + 1, "distinct_offsets": end - start + 1,
+        }]
+        recent, wm, pend = s.advanced_epoch_state(str(epoch), m)
+        return Snapshot(
+            version=s.version + 1, schema_json="{}", n_buckets=4,
+            key_col="url", version_col="warc_ts", bucket_files={},
+            recent_epochs=recent, watermarks=wm, pending_ranges=pend,
+        )
+
+    # 200 odd-indexed 10-offset ranges arrive first: all park (bounded)
+    for i in range(200):
+        lo = (2 * i + 1) * 10
+        snap = commit(snap, lo, lo + 9, i)
+    assert snap.watermarks.get("w#0", -1) == -1
+    assert len(snap.pending_ranges["w#0"]) <= PENDING_RANGE_MAX
+    # now the even ranges fill the gaps: watermark sweeps through every
+    # range still tracked; overflow-dropped ranges re-apply harmlessly
+    for i in range(200):
+        lo = (2 * i) * 10
+        snap = commit(snap, lo, lo + 9, 1000 + i)
+    wm = snap.watermarks["w#0"]
+    # everything the bounded set could retain folds in; the watermark
+    # must at least cover the PENDING_RANGE_MAX retained odd ranges
+    assert wm >= (2 * PENDING_RANGE_MAX) * 10 - 1
+    assert len(snap.pending_ranges.get("w#0", [])) <= PENDING_RANGE_MAX
