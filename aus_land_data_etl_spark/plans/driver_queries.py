@@ -146,6 +146,106 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def q_cdc_schema_evolution_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC convergence with MIXED schema versions — the north star's
+    schema-evolution contract on the hard oracle path, not just unit
+    tests.  ``schema_version = 1 + event_id % 4`` interleaves all four
+    registry projections in every batch: v1 bare (lang falls back to the
+    n-gram heuristic — deterministically 'und' on these marker-free
+    texts), v2 typed ``lang`` column, v3 renames lang into the JSON
+    side-car, v4 adds ``fetch_status`` (ALTER TABLE ADD COLUMN analog,
+    promoted by the merge's superset union).  The LWW winner's version
+    decides each row's projection; DuckDB recomputes the same projection
+    arithmetically."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.merge import read_current
+
+    ev = _t(spark, sf_dir, "events")
+    sv = (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int")
+    langval = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("int"),
+    )
+    fsval = (F.lit(200) + F.pmod(F.col("event_id"), F.lit(3)) * 100).cast("int")
+    extra = F.when(
+        sv == 3, F.to_json(F.struct(langval.alias("language")))
+    ).when(
+        sv == 4,
+        F.to_json(
+            F.struct(langval.alias("language"), fsval.alias("fetch_status"))
+        ),
+    )
+    changes = ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("event_type"),
+                F.lit(" value="),
+                F.col("value").cast("string"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.when(sv == 2, langval).otherwise(F.lit(None).cast("string")).alias("lang"),
+        sv.alias("schema_version"),
+        extra.alias("payload_extra"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("source_partition"),
+        F.col("event_id").cast("long").alias("source_offset"),
+        F.lit("events.parquet").alias("source_file"),
+        F.col("event_id").cast("long").alias("source_pos"),
+    )
+    d = tempfile.mkdtemp(prefix="cdc_ev_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        for i in range(4):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            apply_batch(table, batch, epoch=i)
+        out = read_current(table).select(
+            F.col("url"),
+            F.col("warc_ts"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("lang"),
+            F.col("fetch_status").cast("int").alias("fetch_status"),
+            F.col("text"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_CDC_SCHEMA_EVOLUTION = """
+WITH ranked AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts,
+         event_id,
+         user_id,
+         event_type,
+         value,
+         (event_id % 4) + 1 AS sv,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT url, warc_ts, event_id,
+       CASE WHEN sv = 1 THEN 'und'
+            ELSE CASE (user_id % 3) + 1
+                 WHEN 1 THEN 'en' WHEN 2 THEN 'de' ELSE 'fr' END
+       END AS lang,
+       CASE WHEN sv = 4 THEN CAST(200 + (event_id % 3) * 100 AS INT)
+            ELSE NULL END AS fetch_status,
+       event_type || ' value=' || CAST(value AS VARCHAR) AS text
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def q_cdc_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same convergence through the Structured Streaming shell (WAL file
     source, checkpointed, availableNow drain)."""
@@ -1697,6 +1797,7 @@ GROUP BY event_type
 
 QUERIES: dict[str, QueryFn] = {
     "cdc_engine_converge": q_cdc_engine_converge,
+    "cdc_schema_evolution_converge": q_cdc_schema_evolution_converge,
     "cdc_stream_pipeline": q_cdc_stream_pipeline,
     "w1_canonical": q_w1_canonical,
     "w3_latest_order_per_customer": q_w3_latest_order_per_customer,
@@ -1747,6 +1848,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "cdc_engine_converge": ORACLE_CDC_CONVERGE,
+    "cdc_schema_evolution_converge": ORACLE_CDC_SCHEMA_EVOLUTION,
     "cdc_stream_pipeline": ORACLE_CDC_CONVERGE,
     "w1_canonical": ORACLE_W1,
     "w3_latest_order_per_customer": ORACLE_W3,
