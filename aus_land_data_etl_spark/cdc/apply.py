@@ -41,6 +41,52 @@ ROWS_PER_WRITE_TASK = 4_000
 DEFAULT_SALTS = 0
 
 
+def write_dead_letters(
+    table: LakeTable, events: DataFrame, epoch: int | str,
+    registry: SchemaRegistry,
+) -> int:
+    """Persist events the registry cannot project (unknown
+    ``schema_version``) under ``<root>/_dead_letter/e<epoch>/``.
+
+    The reference's typed readers keep error rows instead of dropping
+    them (raw_data/rows.py:106-127); a 10^10-event WAL tail needs the
+    same: a producer that ships a version this consumer predates must
+    not silently lose data — the rows are quarantined raw (full
+    envelope, byte-complete html) for replay once the registry learns
+    the version.  The write is keyed by epoch and ``overwrite``-mode, so
+    a crash-retry of the same batch leaves one copy (same idempotency
+    class as the commit itself).  Cost: one column-pruned count scan per
+    batch, plus a full write only when dead rows exist (the common case
+    writes nothing).
+    """
+    dead = registry.dead_letter(events)
+    n = dead.count()
+    if n:
+        import os
+        import re as _re
+
+        safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", str(epoch))[:64]
+        out = os.path.join(table.root, "_dead_letter", f"e{safe}")
+        dead.write.mode("overwrite").parquet(out)
+    return n
+
+
+def read_dead_letters(table: LakeTable) -> DataFrame:
+    """All quarantined events (empty frame if none yet)."""
+    import os
+
+    from aus_land_data_etl_spark.cdc.events import EVENT_SCHEMA
+
+    d = os.path.join(table.root, "_dead_letter")
+    if not os.path.isdir(d):
+        return table.spark.createDataFrame([], EVENT_SCHEMA)
+    return (
+        table.spark.read.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+
+
 def create_pages_table(
     spark: SparkSession, root: str, n_buckets: int = 32
 ) -> LakeTable:
@@ -177,6 +223,7 @@ def apply_batch(
     compact_depth: int = 8,
     content_keyed: bool = False,
     wal_offsets: bool = False,
+    dead_letter: bool = True,
 ) -> int:
     """Apply one micro-batch of raw change events exactly once.
 
@@ -195,13 +242,24 @@ def apply_batch(
     Replays older than the recent-epoch window are caught by the offset
     watermarks (see ``lake.table``); either way a replayed batch skips the
     expensive extraction + write entirely.
+
+    ``dead_letter`` (default on): events whose ``schema_version`` the
+    registry does not know are quarantined raw under
+    ``<root>/_dead_letter/`` (``write_dead_letters``) instead of being
+    silently dropped by the valid-only projection; ``read_dead_letters``
+    surfaces them for replay once the registry learns the version.
     """
     from aus_land_data_etl_spark.lake.merge import delta_merge_into
 
     epoch_id = str(epoch)
+    registry = registry or SchemaRegistry()
     snap = table.snapshot()
     if not content_keyed and snap.is_applied(epoch_id):
         return snap.version  # replayed batch: no-op (exactly-once)
+    if dead_letter:
+        # quarantine unknown-schema events BEFORE the valid-only
+        # projection silently drops them (overwrite by epoch: replay-safe)
+        write_dead_letters(table, events, epoch, registry)
     # No persist: the manifest aggregation reads only envelope columns, so
     # Catalyst's column pruning drops the (deterministic) extraction UDF
     # from that job entirely — the expensive html→text pass runs exactly

@@ -237,3 +237,54 @@ def test_extreme_hot_domain_convergence(spark, tmp_table_dir):
             assert got == want, f"mode={mode} diverged under 95% hot-domain skew"
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_unknown_schema_events_quarantined(spark, tmp_table_dir):
+    """Dead-letter queue: a producer shipping a schema_version this
+    consumer predates must not silently lose events — they are
+    quarantined byte-complete under _dead_letter/, excluded from the
+    table, and a replay of the batch keeps exactly one copy."""
+    from aus_land_data_etl_spark.cdc.apply import read_dead_letters
+
+    ev = generate_events(spark, 400, seed=55).localCheckpoint(eager=True)
+    is_bad = F.pmod(F.col("source_pos"), F.lit(10)) == 0
+    batch = ev.withColumn(
+        "schema_version",
+        F.when(is_bad, F.lit(99)).otherwise(F.col("schema_version")),
+    ).localCheckpoint(eager=True)
+    n_bad = batch.filter(F.col("schema_version") == 99).count()
+    assert n_bad > 0
+
+    t = create_pages_table(spark, tmp_table_dir, n_buckets=4)
+    apply_batch(t, batch, epoch=0)
+    dl = read_dead_letters(t)
+    assert dl.count() == n_bad
+    # byte-complete quarantine: html payloads survive exactly
+    src = {
+        r["event_id"]: bytes(r["html"] or b"")
+        for r in batch.filter(F.col("schema_version") == 99)
+        .select("event_id", "html")
+        .collect()
+    }
+    got = {
+        r["event_id"]: bytes(r["html"] or b"")
+        for r in dl.select("event_id", "html").collect()
+    }
+    assert got == src
+    # the table itself holds only the valid rows
+    valid = batch.filter(F.col("schema_version") != 99)
+    want = state_fingerprint(
+        expected_final(valid).select(
+            "url", "warc_ts", "event_id", "text", "lang", "fetch_status"
+        )
+    )
+    assert state_fingerprint(
+        read_current(t).select(
+            "url", "warc_ts", "event_id", "text", "lang", "fetch_status"
+        )
+    ) == want
+    # replay: still one copy, no version advance
+    v = t.current_version()
+    apply_batch(t, batch, epoch=0)
+    assert t.current_version() == v
+    assert read_dead_letters(t).count() == n_bad
