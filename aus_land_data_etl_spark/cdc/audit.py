@@ -34,8 +34,11 @@ def offset_gaps(table: LakeTable, version: int | None = None) -> DataFrame:
 
     Output: one row per anomaly —
     ``kind='gap'``: offsets in (prev_end, start) were never applied;
-    ``kind='overlap'``: this range re-applied offsets ≤ some earlier
-    range's end (safe — LWW idempotent — but worth alarming on).
+    ``kind='overlap'``: this range's [min,max] intersects an earlier
+    range's — genuine re-application OR merely interleaved delivery (a
+    file source regrouping a WAL does the latter routinely); the exact
+    re-application count is ``coverage_summary``'s multiset identity,
+    these rows locate WHERE ranges intersect for eyeballing.
 
     Ranges are compared on a running maximum of ``end_offset`` (not the
     previous row's end) so an early wide range followed by narrower
@@ -78,14 +81,20 @@ def coverage_summary(table: LakeTable, version: int | None = None) -> DataFrame:
     just under the watermark prefix).  Duplicates are split by origin:
     ``dup_rows`` — at-least-once transport duplicates *within* batches
     (row_count − distinct offsets); ``reapplied_offsets`` — a
-    *re-application count*: the sum of each batch's overlap width
-    against the running max of earlier batches' ends, so a range
-    applied N times contributes (N−1)× its width (cross-batch replay
-    that slipped past the epoch guard; LWW-idempotent but
-    alarm-worthy).  It deliberately counts re-deliveries, not the
-    distinct width of the doubly-covered span: "range X replayed 5
-    times" should read 5× worse than "replayed once" on the dashboard
-    (the driver oracle ``ORACLE_LINEAGE_AUDIT`` pins this algebra).
+    *re-application count* from the exact multiset identity
+    ``Σ distinct_offsets − covered_width`` (covered_width = span −
+    detected gaps): a range applied N times contributes (N−1)× its
+    width (cross-batch replay that slipped past the epoch guard;
+    LWW-idempotent but alarm-worthy).  The identity never false-alarms
+    on *interleaved* delivery — batches whose [min,max] ranges overlap
+    while their offsets tile (a file-source regrouping does this
+    routinely; the old per-pair range-overlap algebra misread one such
+    clean smoke run as 25k re-applied offsets).  When batches are
+    internally sparse the gap algebra can under-detect missing offsets,
+    making this a LOWER bound — alarms are real, quiet may hide
+    sparse-batch replay (the ``overlap`` anomaly rows in
+    ``offset_gaps`` still surface those for eyeballing).  The driver
+    oracle ``ORACLE_LINEAGE_AUDIT`` pins the same identity.
     """
     m = table.manifest_df(version)
     snap = table.snapshot(version)
@@ -106,16 +115,15 @@ def coverage_summary(table: LakeTable, version: int | None = None) -> DataFrame:
                     F.col("missing_to") - F.col("missing_from") + 1,
                 ).otherwise(F.lit(0))
             ).alias("_missing"),
-            F.sum(
-                F.when(
-                    F.col("kind") == "overlap",
-                    F.col("missing_to") - F.col("missing_from") + 1,
-                ).otherwise(F.lit(0))
-            ).alias("_reapplied"),
         )
     )
-    out = per_ns.join(gaps, _NS, "left").na.fill(
-        {"_missing": 0, "_reapplied": 0}
+    out = per_ns.join(gaps, _NS, "left").na.fill({"_missing": 0})
+    covered = (
+        F.col("last_offset") - F.col("first_offset") + 1 - F.col("_missing")
+    )
+    reapplied_exact = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("_sum_distinct") - covered).cast("long"),
     )
     wm_map = F.create_map(
         *[
@@ -132,7 +140,7 @@ def coverage_summary(table: LakeTable, version: int | None = None) -> DataFrame:
         "rows_applied",
         "n_batches",
         (F.col("rows_applied") - F.col("_sum_distinct")).alias("dup_rows"),
-        F.col("_reapplied").alias("reapplied_offsets"),
+        reapplied_exact.alias("reapplied_offsets"),
         (F.col("_missing") == 0).alias("contiguous"),
         F.col("_missing").alias("missing_offsets"),
         wm_map.getItem(ns_key).alias("watermark"),

@@ -16,6 +16,8 @@ In the sandbox the same job runs on ``local[N]``.  Modes:
 - ``generate``  write a deterministic synthetic WAL (for rehearsal)
 - ``compact``   rewrite the table dropping tombstones
 - ``derive``    run the derive DAG and print rollup summaries
+- ``audit``     offset-coverage report from the lineage manifests
+                (gaps, overlaps, watermarks, dead-letter count)
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ import sys
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="pages-cdc")
-    p.add_argument("mode", choices=["ingest", "generate", "compact", "derive"])
+    p.add_argument("mode", choices=["ingest", "generate", "compact", "derive", "audit"])
     p.add_argument("--wal", help="WAL directory (parquet change events)")
     p.add_argument("--table", required=True, help="lake table root")
     p.add_argument("--checkpoint", help="streaming checkpoint dir")
@@ -92,6 +94,31 @@ def main(argv: list[str] | None = None) -> None:
         v = compact(table)
         merged = table.compact_manifests()
         print(json.dumps({"mode": "compact", "snapshot": v, "manifests_merged": merged}))
+        return
+
+    if args.mode == "audit":
+        from aus_land_data_etl_spark.cdc.apply import read_dead_letters
+        from aus_land_data_etl_spark.cdc.audit import coverage_summary, offset_gaps
+
+        cov = [r.asDict() for r in coverage_summary(table).collect()]
+        for c in cov:
+            c.pop("source_file", None)
+        gaps = offset_gaps(table).groupBy("kind").count().collect()
+        print(
+            json.dumps(
+                {
+                    "mode": "audit",
+                    "snapshot": table.current_version(),
+                    "namespaces": len(cov),
+                    "contiguous": all(c["contiguous"] for c in cov),
+                    "missing_offsets": sum(c["missing_offsets"] for c in cov),
+                    "reapplied_offsets": sum(c["reapplied_offsets"] for c in cov),
+                    "anomalies": {r["kind"]: r["count"] for r in gaps},
+                    "dead_letters": read_dead_letters(table).count(),
+                },
+                default=str,
+            )
+        )
         return
 
     if args.mode == "derive":

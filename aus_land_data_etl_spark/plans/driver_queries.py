@@ -1107,8 +1107,9 @@ def q_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition — applied offset span, row count, batch count, duplicate /
     re-applied offsets, contiguity.  The oracle recomputes the same facts
     from the raw events (offset = event_id, partition = user_id mod 4,
-    epoch = event_id mod 4), including the running-max overlap algebra —
-    so the manifest trail itself is value-checked, not just row-counted."""
+    epoch = event_id mod 4), including the gap detection and the exact
+    multiset re-application identity (Σ distinct − covered span) — so
+    the manifest trail itself is value-checked, not just row-counted."""
     from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
     from aus_land_data_etl_spark.cdc.audit import coverage_summary
 
@@ -1136,7 +1137,8 @@ def q_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Recompute the manifest coverage from the raw events: one manifest row
 # per (partition = user_id%4, epoch = event_id%4) with offset = event_id,
-# then the same sorted running-max gap/overlap algebra the audit uses.
+# then the same running-max gap detection and the same exact multiset
+# re-application identity (Σ distinct − covered span) the audit uses.
 ORACLE_LINEAGE_AUDIT = """
 WITH man AS (
   SELECT user_id % 4 AS source_partition,
@@ -1161,8 +1163,9 @@ SELECT source_partition,
        CAST(SUM(rc) AS BIGINT) AS rows_applied,
        COUNT(*) AS n_batches,
        CAST(0 AS BIGINT) AS dup_rows,
-       CAST(SUM(CASE WHEN prev_max IS NOT NULL AND s <= prev_max
-                     THEN LEAST(e, prev_max) - s + 1 ELSE 0 END) AS BIGINT)
+       CAST(GREATEST(0, SUM(rc) - (MAX(e) - MIN(s) + 1
+            - SUM(CASE WHEN prev_max IS NOT NULL AND s > prev_max + 1
+                       THEN s - prev_max - 1 ELSE 0 END))) AS BIGINT)
          AS reapplied_offsets,
        SUM(CASE WHEN prev_max IS NOT NULL AND s > prev_max + 1
                 THEN s - prev_max - 1 ELSE 0 END) = 0 AS contiguous

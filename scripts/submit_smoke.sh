@@ -41,17 +41,24 @@ SUBMIT=(spark-submit --master "local[$CORES]" --py-files "$ZIP")
     --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
     | tail -1 | tee "$WORK/out_compact.json"
 
+"${SUBMIT[@]}" driver.py audit \
+    --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
+    | tail -1 | tee "$WORK/out_audit.json"
+
 python3 - "$WORK" <<'EOF'
 import json, sys
 w = sys.argv[1]
 ing = json.load(open(f"{w}/out_ingest.json"))
 rep = json.load(open(f"{w}/out_replay.json"))
 comp = json.load(open(f"{w}/out_compact.json"))
+aud = json.load(open(f"{w}/out_audit.json"))
 assert ing["live_pages"] > 0, ing
+assert aud["contiguous"] is True and aud["missing_offsets"] == 0, aud
+assert aud["dead_letters"] == 0, aud
 assert rep["live_pages"] == ing["live_pages"], (ing, rep)
 assert rep["snapshot"] == ing["snapshot"], (ing, rep)
 assert comp["snapshot"] > ing["snapshot"], (ing, comp)
 print(json.dumps({"submit_smoke": "ok", "live_pages": ing["live_pages"],
                   "ingest_batches": ing["batches"],
-                  "replay_noop": True}))
+                  "replay_noop": True, "audit_contiguous": True}))
 EOF

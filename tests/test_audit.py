@@ -83,11 +83,11 @@ def test_overlap_detection(spark, tmp_table_dir):
 
 
 def test_reapplied_is_a_replay_count_not_distinct_width(spark, tmp_table_dir):
-    """Pin the documented semantics: ``reapplied_offsets`` counts
-    re-deliveries against the running max — a span applied N times
-    contributes (N−1)× its width, NOT the distinct doubly-covered
-    width.  Three applications of the same 50-offset span per
-    partition → 2×50 = 100."""
+    """Pin the documented semantics: ``reapplied_offsets`` is the exact
+    multiset identity Σ distinct_offsets − covered width — a span
+    applied N times contributes (N−1)× its width, NOT the distinct
+    doubly-covered width.  Three applications of the same 50-offset
+    span per partition → 2×50 = 100."""
     t = create_pages_table(spark, tmp_table_dir, n_buckets=4)
     ev = generate_events(spark, 100, seed=7, n_source_partitions=2)
     apply_batch(t, ev, epoch=0, wal_offsets=True)
@@ -101,3 +101,31 @@ def test_reapplied_is_a_replay_count_not_distinct_width(spark, tmp_table_dir):
     for c in cov:
         assert c["reapplied_offsets"] == 100  # (3-1) × 50, not 50
         assert c["contiguous"]
+
+
+def test_interleaved_clean_delivery_reports_zero_reapplied(
+    spark, tmp_table_dir
+):
+    """Regression (found by the spark-submit smoke): a file source
+    regrouping a WAL delivers batches whose [min,max] offset ranges
+    interleave even though every offset arrives exactly once.  The old
+    per-pair range-overlap algebra read one such clean run as ~25k
+    re-applied offsets; the multiset identity must report 0 while the
+    'overlap' anomaly rows still locate the range intersections."""
+    t = create_pages_table(spark, tmp_table_dir, n_buckets=4)
+    ev = generate_events(spark, 200, seed=9, n_source_partitions=2)
+    # two batches with interleaved 25-offset stripes: batch 0 takes
+    # offsets [0,25)∪[50,75), batch 1 takes [25,50)∪[75,100) — ranges
+    # overlap, offsets tile exactly
+    stripe = (F.col("source_offset") / 25).cast("int")
+    apply_batch(t, ev.filter(stripe.isin(0, 2)), epoch=0, wal_offsets=True)
+    apply_batch(t, ev.filter(stripe.isin(1, 3)), epoch=1, wal_offsets=True)
+    cov = coverage_summary(t).collect()
+    assert len(cov) == 2
+    for c in cov:
+        assert c["reapplied_offsets"] == 0, c
+        assert c["contiguous"] and c["missing_offsets"] == 0
+        assert c["first_offset"] == 0 and c["last_offset"] == 99
+    # interleaving is still visible as range-intersection anomalies
+    kinds = {r["kind"] for r in offset_gaps(t).collect()}
+    assert kinds == {"overlap"}
