@@ -41,6 +41,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "scripts"))
 
 from cpu_ceiling import measure  # noqa: E402
+from membw_ceiling import measure as measure_membw  # noqa: E402
 
 #: quiet-window low-leg reference (BASELINE.md 2026-08-17 04:23/06:31 UTC:
 #: 18.4-21.1k ev/s at 8 cores on 4.8M events â‰ˆ 2.3-2.6k ev/s/core); a leg
@@ -70,6 +71,16 @@ def probe(low: int, high: int) -> float:
     return round((t_low / t_high) / (high / low), 3)
 
 
+def probe_membw(low: int, high: int) -> float:
+    """Memory-bus scaling ceiling (shuffle/parquet/Arrow phases are
+    bandwidth-bound; a bus that saturates at â‰¤low cores caps them at
+    ~1Ã— no matter the vCPU count).  One shot, ~10 s."""
+    units = high * 4
+    t_low = measure_membw(low, units)
+    t_high = measure_membw(high, units)
+    return round((t_low / t_high) / (high / low), 3)
+
+
 def run_at(cores: int, n_events: int, n_batches: int, n_buckets: int) -> dict:
     script = CHILD.format(
         repo=str(REPO), cores=cores, n_events=n_events,
@@ -93,6 +104,8 @@ def main() -> None:
     # The sandbox VM's effective CPU speed fluctuates (noisy neighbours):
     # alternate configs and keep the best trial per config â€” noise only
     # ever slows a run, so max-throughput is the faithful estimate.
+    membw = probe_membw(low, high)
+    print(f"membw ceiling: {membw}", file=sys.stderr)
     pairs = []
     for i in range(trials):
         p_before = probe(low, high)
@@ -135,6 +148,7 @@ def main() -> None:
         "probe_before": best["probe_before"],
         "probe_after": best["probe_after"],
         "host_throttled": best["host_throttled"],
+        "membw_ceiling": membw,
         "qualifying": qualifying,
         "trial_pairs": pairs,
     }
@@ -162,6 +176,8 @@ quiet-window per-core throughput reference ({REF_EVPS_PER_CORE:,.0f} ev/s/core Ã
 |---|---|---|---|---|---|
 {trial_rows}
 
+Memory-bus scaling ceiling this run: **{membw}** (mixed compute/
+bandwidth workloads ceiling between this and the CPU probe).
 Best pair: local[{low}] {r_low['sec']} s ({r_low['events_per_sec']:,} ev/s),
 local[{high}] {r_high['sec']} s ({r_high['events_per_sec']:,} ev/s) â†’
 speedup **{ratio:.2f}Ã—**, scaling efficiency **{efficiency:.3f}**
