@@ -36,10 +36,10 @@ Supported aggregates: the decomposable-with-inverse ones — ``count``
 a non-null counter per sum lets ``read`` return SQL-faithful NULL for
 all-null groups), ``avg`` derived from (sum, count) at read time — and
 ``min``/``max``, which have no inverse under deletes and are instead
-maintained by dirty-group recompute: groups whose interval changes
-could have shrunk the extremum (a delete/preimage AT the current
-extremum) are re-aggregated from the base table's live view, bucket-
-pruned to the dirty groups; all other groups fold incrementally.  See
+maintained by a bounded per-group retraction reserve (top-RESERVE_K
+distinct values with exact live counts): retractions at the extremum
+fall back within the reserve, and only a group that exhausts all
+tracked values pays a recompute from the base table's live view.  See
 ``AggSpec`` for the exact cost model.
 
 Group keys may be *derived* expressions (``derived={"etype":
@@ -69,6 +69,28 @@ MV_SEQ_COL = "mv_seq"
 #: live-row count per group; <= 0 ⇒ the group is dead (tombstoned)
 MV_ROWS_COL = "mv_rows"
 
+#: min/max retraction reserve: per group, the top-K *distinct* live
+#: values with exact live counts (Flink's retractable-min/max value→count
+#: state, bounded).  A retraction at the extremum falls back to the next
+#: reserve value instead of rescanning the source; only a group that
+#: exhausts all K tracked values (and is not marked exhaustive) pays the
+#: dirty recompute.  K=8 makes the worst case need 8 extremum deletions
+#: of 8 distinct values between refreshes before any source scan.
+RESERVE_K = 8
+_RESERVE_T = "array<struct<v:double,c:bigint>>"
+
+
+def _res_cmp(kind: str):
+    """Best-first comparator for reserve entries (asc for min, desc for
+    max); values are distinct by construction so 0 never matters."""
+    if kind == "min":
+        return lambda l, r: (
+            F.when(l["v"] < r["v"], -1).when(l["v"] > r["v"], 1).otherwise(0)
+        )
+    return lambda l, r: (
+        F.when(l["v"] > r["v"], -1).when(l["v"] < r["v"], 1).otherwise(0)
+    )
+
 
 @dataclass(frozen=True)
 class AggSpec:
@@ -78,15 +100,19 @@ class AggSpec:
     ``count`` ignores ``col`` (COUNT(*)); the other kinds require it.
 
     ``min``/``max`` are NOT purely additive: a retraction at the stored
-    extremum invalidates it.  They are maintained with the standard
-    dirty-group strategy — additions fold in with ``least``/``greatest``
-    for free; a retraction at-or-beyond the stored extremum marks just
-    that group dirty, and dirty groups are recomputed from the source's
-    live view (a broadcast semi-join on the group key).  Cheap while
-    retractions rarely hit the extremum; the recompute scan is column-
-    pruned but O(source live view) in the worst case — at a 100 TB
-    source, either accept that or keep extremal aggs on views whose key
-    aligns with the source bucketing.
+    extremum invalidates it.  They are maintained with a bounded
+    *retraction reserve* (Flink's retractable-min/max value→count state,
+    capped): each group stores its top-``RESERVE_K`` distinct live
+    values with exact counts, so a retraction at the extremum falls back
+    to the next reserve value — pure expression fold, no source touch.
+    Only a group whose tracked values are ALL retracted between
+    refreshes (and that is not marked exhaustive) pays the dirty-group
+    recompute from the source's live view (broadcast semi-join on the
+    group key, column-pruned, top-K rebuilt via window rank).  That
+    residual worst case needs ≥ RESERVE_K distinct-value extremum
+    deletions per group per interval — at a 100 TB source this turns
+    "min/max views are O(source) under deletes" into a rare event
+    instead of a steady cost.
     """
 
     name: str
@@ -197,6 +223,24 @@ class AggView:
                     True,
                 )
             )
+            if a.kind in ("min", "max"):
+                fields.append(
+                    T.StructField(
+                        f"_res_{a.name}",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("v", T.DoubleType()),
+                                    T.StructField("c", T.LongType()),
+                                ]
+                            )
+                        ),
+                        True,
+                    )
+                )
+                fields.append(
+                    T.StructField(f"_resx_{a.name}", T.BooleanType(), True)
+                )
         table = LakeTable.create(
             spark,
             root,
@@ -257,33 +301,39 @@ class AggView:
                 F.col(a.col).cast("double"), F.lit(0.0)
             )
 
-        def ext_deltas(a: AggSpec) -> list[Column]:
-            fn = F.min if a.kind == "min" else F.max
-            val = F.col(a.col).cast("double")
-            return [
-                # best added value / most-extreme retracted value this
-                # interval (nulls ignored by min/max themselves)
-                fn(F.when(sign > 0, val)).alias(f"_di_{a.name}"),
-                fn(F.when(sign < 0, val)).alias(f"_dr_{a.name}"),
-            ]
-
-        deltas = (
-            ch.groupBy(_key_expr(self.keys).alias(MV_KEY_COL), *self.keys)
-            .agg(
-                F.sum(sign).cast("long").alias(f"_d_{MV_ROWS_COL}"),
-                *[
-                    F.sum(contribution(a))
-                    .cast("double" if a.kind == "sum" else "long")
-                    .alias(f"_d_{a.name}")
-                    for a in additive
-                ],
-                *[c for a in extremal for c in ext_deltas(a)],
-            )
-            # small (O(changed groups)); pin it so the bucket probe below
-            # doesn't recompute the changelog join — and never a bare
-            # .cache(): the probe must see a durable copy
-            .localCheckpoint(eager=True)
+        deltas = ch.groupBy(_key_expr(self.keys).alias(MV_KEY_COL), *self.keys).agg(
+            F.sum(sign).cast("long").alias(f"_d_{MV_ROWS_COL}"),
+            *[
+                F.sum(contribution(a))
+                .cast("double" if a.kind == "sum" else "long")
+                .alias(f"_d_{a.name}")
+                for a in additive
+            ],
         )
+        # min/max reserve maintenance needs the interval's net count
+        # change PER DISTINCT VALUE (the value→count retraction state),
+        # not just the interval extremes: one extra grouped pass over
+        # the (small) change set per extremal aggregate
+        for a in extremal:
+            val = F.col(a.col).cast("double")
+            per_val = (
+                ch.groupBy(
+                    _key_expr(self.keys).alias(MV_KEY_COL), val.alias("_v")
+                )
+                .agg(F.sum(sign).cast("long").alias("_c"))
+                .filter(F.col("_v").isNotNull() & (F.col("_c") != 0))
+                .groupBy(MV_KEY_COL)
+                .agg(
+                    F.collect_list(
+                        F.struct(F.col("_v").alias("v"), F.col("_c").alias("c"))
+                    ).alias(f"_dv_{a.name}")
+                )
+            )
+            deltas = deltas.join(per_val, MV_KEY_COL, "left")
+        # small (O(changed groups)); pin it so the bucket probe below
+        # doesn't recompute the changelog join — and never a bare
+        # .cache(): the probe must see a durable copy
+        deltas = deltas.localCheckpoint(eager=True)
 
         snap = self.table.snapshot()
         touched = sorted(
@@ -297,38 +347,91 @@ class AggView:
         state = self.table.read_resolved(buckets=touched, tiebreak_col=MV_SEQ_COL)
         if DELETED_COL in state.columns:
             state = state.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        res_cols = [
+            c
+            for a in extremal
+            for c in (f"_res_{a.name}", f"_resx_{a.name}")
+        ]
         state = state.select(
-            MV_KEY_COL, *self.keys, MV_ROWS_COL, *[a.name for a in storage]
+            MV_KEY_COL,
+            *self.keys,
+            MV_ROWS_COL,
+            *[a.name for a in storage],
+            *res_cols,
         )
 
         joined = state.alias("s").join(
             deltas.alias("d"), on=[MV_KEY_COL], how="full_outer"
         )
 
-        def ext_fold(a: AggSpec) -> Column:
-            # additions fold for free; retraction handling is the dirty path
-            fold = F.least if a.kind == "min" else F.greatest
-            return fold(F.col(f"s.{a.name}"), F.col(f"_di_{a.name}"))
+        def reserve_merge(a: AggSpec):
+            """Fold the interval's per-value count deltas into the stored
+            top-K reserve; returns (reserve', exhaustive', extremum',
+            needs_recompute).
 
-        def ext_dirty(a: AggSpec) -> Column:
-            # a retraction AT or BEYOND the stored extremum invalidates it
-            # (strictly-beyond cannot happen in consistent state; <=/>=
-            # keeps the predicate robust).  NULL-safe false: no stored
-            # extremum (all-null or new group) or no retractions -> clean.
-            cmp = (
-                F.col(f"_dr_{a.name}") <= F.col(f"s.{a.name}")
-                if a.kind == "min"
-                else F.col(f"_dr_{a.name}") >= F.col(f"s.{a.name}")
+            Invariant: the reserve holds ALL distinct live values better
+            than its worst entry (the cutoff), each with its exact live
+            count; ``exhaustive`` means it holds every distinct live
+            value.  So a value absent from the reserve has prior count 0
+            if it is strictly better than the cutoff (or the reserve is
+            exhaustive) — insertable; otherwise its prior count is
+            unknown and it is dropped (it cannot be the extremum: the
+            cutoff is better).  The extremum is exact whenever the
+            merged reserve is non-empty; recompute is needed only when
+            every tracked value was retracted AND untracked values may
+            exist."""
+            stored = F.coalesce(
+                F.col(f"s._res_{a.name}"), F.expr(f"CAST(array() AS {_RESERVE_T})")
             )
-            return F.coalesce(cmp, F.lit(False))
+            sx = F.coalesce(F.col(f"s._resx_{a.name}"), F.lit(True))
+            # try_: ANSI mode (Spark 4 default) makes plain element_at THROW
+            # on an empty array instead of returning NULL
+            cutoff = F.try_element_at(stored, F.lit(-1))["v"]
+            better = (
+                (lambda k: k < cutoff)
+                if a.kind == "min"
+                else (lambda k: k > cutoff)
+            )
+            dmap = F.map_from_entries(
+                F.coalesce(
+                    F.col(f"d._dv_{a.name}"),
+                    F.expr(f"CAST(array() AS {_RESERVE_T})"),
+                )
+            )
+            merged_map = F.map_zip_with(
+                F.map_from_entries(stored),
+                dmap,
+                lambda k, sc, dc: F.when(
+                    sc.isNotNull(), sc + F.coalesce(dc, F.lit(0))
+                )
+                .when(sx, dc)
+                .when(better(k), dc)
+                .otherwise(F.lit(None).cast("long")),
+            )
+            entries = F.transform(
+                F.filter(
+                    F.map_entries(merged_map),
+                    lambda e: e["value"].isNotNull() & (e["value"] > 0),
+                ),
+                lambda e: F.struct(
+                    e["key"].alias("v"), e["value"].alias("c")
+                ),
+            )
+            entries = F.array_sort(entries, _res_cmp(a.kind))
+            reserve_new = F.slice(entries, 1, RESERVE_K)
+            resx_new = sx & ~(F.size(entries) > RESERVE_K)
+            ext_new = F.try_element_at(reserve_new, F.lit(1))["v"]
+            needs = (F.size(reserve_new) == 0) & ~resx_new
+            return reserve_new, resx_new, ext_new, needs
 
         rows_new = (
             F.coalesce(F.col(f"s.{MV_ROWS_COL}"), F.lit(0))
             + F.coalesce(F.col(f"_d_{MV_ROWS_COL}"), F.lit(0))
         ).cast("long")
+        ext_merged = {a.name: reserve_merge(a) for a in extremal}
         dirty = F.lit(False)
         for a in extremal:
-            dirty = dirty | ext_dirty(a)
+            dirty = dirty | ext_merged[a.name][3]
         merged = joined.select(
             F.col(MV_KEY_COL),
             *[
@@ -347,7 +450,15 @@ class AggView:
                 .alias(a.name)
                 for a in additive
             ],
-            *[ext_fold(a).alias(a.name) for a in extremal],
+            *[ext_merged[a.name][2].alias(a.name) for a in extremal],
+            *[
+                ext_merged[a.name][0].alias(f"_res_{a.name}")
+                for a in extremal
+            ],
+            *[
+                ext_merged[a.name][1].alias(f"_resx_{a.name}")
+                for a in extremal
+            ],
             # dead groups take the tombstone path regardless of dirtiness
             (dirty & (rows_new > 0)).alias("_dirty"),
         ).filter(
@@ -362,10 +473,19 @@ class AggView:
             dirty_keys = merged.filter(F.col("_dirty")).select(
                 MV_KEY_COL, *self.keys
             )
-            batch = clean.unionByName(
-                self._recompute_groups(dirty_keys, v_to),
-                allowMissingColumns=False,
-            )
+            # short-circuit on the (cheap, checkpointed) dirty count: the
+            # recompute frame scans the source live view, and a lazy
+            # union would execute that scan even when no group is dirty —
+            # the reserve's whole point is that this branch almost never
+            # runs (tests/test_incremental pins zero recompute calls for
+            # reserve-served retractions)
+            if dirty_keys.count() > 0:
+                batch = clean.unionByName(
+                    self._recompute_groups(dirty_keys, v_to),
+                    allowMissingColumns=False,
+                )
+            else:
+                batch = clean
         else:
             batch = merged.drop("_dirty")
         batch = batch.withColumn(
@@ -403,7 +523,12 @@ class AggView:
     def _recompute_groups(self, dirty_keys: DataFrame, v_to: int) -> DataFrame:
         """Recompute ALL storage aggregates for the dirty groups from the
         source live view — a broadcast semi-join on the encoded group key
-        (dirty groups per interval are few; the scan is column-pruned)."""
+        (dirty groups per interval are few; the scan is column-pruned).
+        min/max reserves are rebuilt as the top-``RESERVE_K`` distinct
+        values with live counts (window rank bounds the per-group state
+        collected — never a full distinct-value list)."""
+        from pyspark.sql import Window
+
         keyed = self._source_live(v_to).withColumn(
             MV_KEY_COL, _key_expr(self.keys)
         )
@@ -419,16 +544,67 @@ class AggView:
             fn = {"sum": F.sum, "min": F.min, "max": F.max}[a.kind]
             return fn(F.col(a.col).cast("double"))
 
-        return hit.groupBy(MV_KEY_COL, *self.keys).agg(
+        storage = _storage_aggs(self.aggs)
+        extremal = [a for a in storage if a.kind in ("min", "max")]
+        out = hit.groupBy(MV_KEY_COL, *self.keys).agg(
             F.count("*").cast("long").alias(MV_ROWS_COL),
-            *[agg_col(a).alias(a.name) for a in _storage_aggs(self.aggs)],
-        ).select(
+            *[agg_col(a).alias(a.name) for a in storage],
+        )
+        for a in extremal:
+            val = F.col(a.col).cast("double")
+            vals = (
+                hit.select(MV_KEY_COL, val.alias("_v"))
+                .filter(F.col("_v").isNotNull())
+                .groupBy(MV_KEY_COL, "_v")
+                .agg(F.count("*").cast("long").alias("_c"))
+            )
+            order = F.asc("_v") if a.kind == "min" else F.desc("_v")
+            w = Window.partitionBy(MV_KEY_COL).orderBy(order)
+            res = (
+                vals.withColumn("_rn", F.row_number().over(w))
+                .groupBy(MV_KEY_COL)
+                .agg(
+                    F.count("*").alias("_nd"),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") <= RESERVE_K,
+                                F.struct(
+                                    F.col("_v").alias("v"),
+                                    F.col("_c").alias("c"),
+                                ),
+                            )
+                        ),
+                        _res_cmp(a.kind),
+                    ).alias(f"_res_{a.name}"),
+                )
+                .select(
+                    MV_KEY_COL,
+                    f"_res_{a.name}",
+                    (F.col("_nd") <= RESERVE_K).alias(f"_resx_{a.name}"),
+                )
+            )
+            out = out.join(res, MV_KEY_COL, "left")
+        return out.select(
             MV_KEY_COL,
             *self.keys,
             F.lit(v_to).cast("long").alias(MV_VERSION_COL),
             F.lit(v_to).cast("long").alias(MV_SEQ_COL),
             MV_ROWS_COL,
-            *[a.name for a in _storage_aggs(self.aggs)],
+            *[a.name for a in storage],
+            *[
+                c
+                for a in extremal
+                for c in (
+                    F.coalesce(
+                        F.col(f"_res_{a.name}"),
+                        F.expr(f"CAST(array() AS {_RESERVE_T})"),
+                    ).alias(f"_res_{a.name}"),
+                    F.coalesce(F.col(f"_resx_{a.name}"), F.lit(True)).alias(
+                        f"_resx_{a.name}"
+                    ),
+                )
+            ],
         )
 
     # -- read -------------------------------------------------------------

@@ -300,3 +300,70 @@ def test_min_max_matches_full_recompute_over_generated_stream(spark, tmp_path):
         apply_batch(src, batch, epoch=i)
         view.refresh()
         assert _rows(view.read()) == _rows(full_compute(view))
+
+
+def test_min_max_reserve_avoids_recompute_until_exhausted(
+    spark, tmp_path, monkeypatch
+):
+    """Mechanism pin for the bounded retraction reserve: deleting the min
+    row falls back to the next tracked value WITHOUT touching the source
+    (zero recompute calls); only an interval that retracts every tracked
+    value of a non-exhaustive group (> RESERVE_K distinct values) pays
+    the recompute — and still lands on the right answer."""
+    from aus_land_data_etl_spark.lake.incremental import RESERVE_K
+
+    src = create_pages_table(spark, str(tmp_path / "src"), n_buckets=2)
+    view = AggView.create(
+        spark, str(tmp_path / "mv"), src,
+        keys=["grp"],
+        aggs=[AggSpec("min_len", "min", "tl")],
+        derived={"grp": "regexp_extract(url, 'g([0-9]+)', 1)",
+                 "tl": "length(text)"},
+        n_buckets=2,
+    )
+    # 12 distinct text lengths 1..12 -> reserve holds 1..8, exhaustive=False
+    n = RESERVE_K + 4
+    apply_batch(src, _events_df(spark, [
+        _ev(i, "insert", f"https://ex.com/g1/{i}", 10, "x" * i)
+        for i in range(1, n + 1)
+    ]), epoch=0)
+    view.refresh()
+
+    calls = {"n": 0}
+    orig = AggView._recompute_groups
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(AggView, "_recompute_groups", counting)
+
+    # delete min rows one interval at a time: reserve absorbs ALL of them
+    # (even the 8th — the reserve empties but... 7 deletions keep >=1)
+    for step in range(1, RESERVE_K - 1 + 1):  # delete lengths 1..7
+        apply_batch(src, _events_df(spark, [
+            _ev(100 + step, "delete", f"https://ex.com/g1/{step}",
+                20 + step, None),
+        ]), epoch=step)
+        view.refresh()
+        got = view.read().collect()[0]
+        assert got["min_len"] == float(step + 1), step
+    assert calls["n"] == 0, "reserve fallback must not touch the source"
+
+    # one interval retracting the last tracked value (8) -> reserve empty,
+    # not exhaustive -> exactly one recompute; correct min (9) restored
+    # and the reserve is rebuilt (9..12, exhaustive) so the NEXT deletion
+    # is reserve-served again
+    apply_batch(src, _events_df(spark, [
+        _ev(200, "delete", f"https://ex.com/g1/{RESERVE_K}", 40, None),
+    ]), epoch=99)
+    view.refresh()
+    assert calls["n"] == 1
+    assert view.read().collect()[0]["min_len"] == float(RESERVE_K + 1)
+    assert _rows(view.read()) == _rows(full_compute(view))
+    apply_batch(src, _events_df(spark, [
+        _ev(201, "delete", f"https://ex.com/g1/{RESERVE_K + 1}", 50, None),
+    ]), epoch=100)
+    view.refresh()
+    assert calls["n"] == 1, "rebuilt exhaustive reserve serves the next delete"
+    assert view.read().collect()[0]["min_len"] == float(RESERVE_K + 2)
