@@ -97,6 +97,17 @@ def create_pages_table(
         key_col="url",
         version_col="warc_ts",
         n_buckets=n_buckets,
+        properties={
+            # zonemap columns recorded per data file at commit time: time-
+            # range scans (recent-changes export, changelog windows) skip
+            # whole files via plan_scan; each MoR delta layer covers one
+            # epoch's narrow warc_ts band, so time predicates prune old
+            # epochs without opening them.
+            "stats_cols": ["warc_ts", "lang"],
+            # cluster rows by version time inside each bucket file —
+            # tight zonemaps + better RLE; per-partition sort, no shuffle.
+            "sort_cols": ["warc_ts"],
+        },
     )
 
 

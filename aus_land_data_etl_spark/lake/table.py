@@ -53,6 +53,7 @@ import json
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field, fields as fields_of, replace
 from typing import Any
 
@@ -154,6 +155,29 @@ def _wm_key(m: dict[str, Any]) -> str:
     return f'{m.get("source_file", "")}#{m["source_partition"]}'
 
 
+@contextmanager
+def _stats_bearing_timestamps(spark: SparkSession):
+    """Write timestamps as TIMESTAMP_MICROS for the duration.
+
+    Spark's default parquet timestamp encoding is the deprecated INT96,
+    which carries NO column statistics — every warc_ts zonemap would come
+    back empty and time-window scans could never skip a file.  INT64
+    micros is the modern encoding (Iceberg mandates it) and gets full
+    min/max stats.  Scoped set-and-restore: only lake data writes opt in,
+    the surrounding session keeps whatever the user configured.
+    """
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """Deterministic bucket id for a key: pmod(murmur3(key), n).
 
@@ -204,6 +228,14 @@ class Snapshot:
     #: inline lineage rows migrated from a pre-manifest-spill descriptor;
     #: spilled to a referenced parquet file on the next commit.
     legacy_manifests: list[dict[str, Any]] = field(default_factory=list)
+    #: per-data-file column zonemaps (``{rel_path: {"rows": n, "cols":
+    #: {col: {"lo", "hi", "nulls"}}}}``) for the columns named by the
+    #: ``stats_cols`` table property — consulted by ``plan_scan`` for
+    #: predicate file-skipping (Iceberg's lower_bounds/upper_bounds).
+    #: Keyed by the same relative paths as bucket_files/delta_files;
+    #: files written before the property was set have no entry and are
+    #: never pruned (conservative).
+    file_stats: dict[str, dict[str, Any]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -467,11 +499,44 @@ class LakeTable:
             return Snapshot.from_json(f.read())
 
     # -- read --------------------------------------------------------------
+    def plan_scan(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_deltas: bool = True,
+        predicates: list[tuple] | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """Plan a scan with zonemap file-skipping: (kept, skipped) rel paths.
+
+        ``predicates`` — conjunctive ``(col, op, value)`` triples (op in
+        ``<, <=, >, >=, ==, between``) evaluated against the per-file
+        column stats recorded at write time for the ``stats_cols`` table
+        property (see :mod:`aus_land_data_etl_spark.lake.stats`).  The
+        kept set is a SUPERSET of the files containing matching rows —
+        callers still apply the row-level filter; files without recorded
+        stats are always kept.
+        """
+        from aus_land_data_etl_spark.lake.stats import prune_files
+
+        snap = self.snapshot(version)
+        rels: list[str] = []
+        for b, fs in snap.bucket_files.items():
+            if buckets is None or int(b) in buckets:
+                rels.extend(fs)
+        if include_deltas:
+            for b, fs in snap.delta_files.items():
+                if buckets is None or b == "*" or int(b) in buckets:
+                    rels.extend(fs)
+        if not predicates:
+            return rels, []
+        return prune_files(snap.file_stats, rels, predicates)
+
     def read(
         self,
         version: int | None = None,
         buckets: list[int] | None = None,
         include_deltas: bool = True,
+        predicates: list[tuple] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, optionally bucket-pruned.
 
@@ -482,16 +547,18 @@ class LakeTable:
         With ``include_deltas`` the scan unions merge-on-read delta files —
         rows are then RAW (possibly several versions per key, tombstones
         included); use ``read_resolved`` for the LWW view.
+
+        ``predicates`` skips files via the recorded zonemaps (see
+        ``plan_scan``).  Advisory: the result may contain non-matching
+        rows — apply the row-level filter as well.  Note pruning a RAW
+        read drops old versions of keys whose newer versions fall outside
+        the predicate range; that is exactly "rows not matching the
+        predicate" semantics, but do NOT run LWW resolution over a pruned
+        raw scan (use ``read_resolved(predicates=...)``, which guards).
         """
         snap = self.snapshot(version)
-        files: list[str] = []
-        for b, fs in snap.bucket_files.items():
-            if buckets is None or int(b) in buckets:
-                files.extend(os.path.join(self.root, f) for f in fs)
-        if include_deltas:
-            for b, fs in snap.delta_files.items():
-                if buckets is None or b == "*" or int(b) in buckets:
-                    files.extend(os.path.join(self.root, f) for f in fs)
+        kept, _ = self.plan_scan(version, buckets, include_deltas, predicates)
+        files = [os.path.join(self.root, f) for f in kept]
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         df = self.spark.read.schema(snap.schema).parquet(*files)
@@ -506,14 +573,30 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         tiebreak_col: str = "event_id",
+        predicates: list[tuple] | None = None,
     ) -> DataFrame:
-        """LWW-resolved view over base ∪ deltas (merge-on-read)."""
+        """LWW-resolved view over base ∪ deltas (merge-on-read).
+
+        ``predicates`` (zonemap file-skipping) is applied ONLY when the
+        table has no delta layers: with merge-on-read stacks, skipping
+        the delta file holding a key's newest version would resurrect an
+        older in-range version — pruning does not commute with LWW
+        resolution.  A folded base is one row per key (= current state),
+        where pruning is a plain row filter at file granularity, sound
+        as long as the caller still applies the row-level filter.  With
+        deltas present the predicates are ignored (correctness over
+        speed); fold first for pruned reads.
+        """
         from aus_land_data_etl_spark.operators.dedup import lww_latest
 
         snap = self.snapshot(version)
-        raw = self.read(version=version, buckets=buckets, include_deltas=True)
         if not snap.delta_files:
-            return raw  # base is already one-row-per-key
+            # base is already one-row-per-key
+            return self.read(
+                version=version, buckets=buckets, include_deltas=False,
+                predicates=predicates,
+            )
+        raw = self.read(version=version, buckets=buckets, include_deltas=True)
         return lww_latest(raw, snap.key_col, [snap.version_col, tiebreak_col])
 
     # -- write -------------------------------------------------------------
@@ -551,14 +634,24 @@ class LakeTable:
             "data", f"s{snapshot_version:08d}-{uuid.uuid4().hex[:8]}"
         )
         out_dir = os.path.join(self.root, rel_dir)
+        props = self.snapshot().properties
         if not pre_bucketed:
             snap = self.snapshot()
             df = df.repartition(snap.n_buckets, F.col(BUCKET_COL))
-        (
-            df.write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(out_dir)
-        )
+        # sorted writes: clustering rows by the sort columns inside each
+        # bucket file tightens the zonemaps recorded below (and parquet's
+        # own page stats + RLE).  Per-partition sort — no extra exchange,
+        # so the pre_bucketed no-shuffle guarantee holds.
+        sort_cols = [c for c in (props.get("sort_cols") or []) if c in df.columns]
+        if sort_cols:
+            df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
+        writer = df.write.mode("overwrite")
+        for c in props.get("bloom_cols") or []:
+            # parquet-level bloom filters (point-lookup row-group skipping
+            # on the key column; readers use them automatically)
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        with _stats_bearing_timestamps(self.spark):
+            writer.partitionBy(BUCKET_COL).parquet(out_dir)
         bucket_files: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(out_dir)):
             if not entry.startswith(f"{BUCKET_COL}="):
@@ -570,7 +663,37 @@ class LakeTable:
                 for f in os.listdir(bdir)
                 if f.endswith(".parquet")
             )
+        self._stage_stats([f for fs in bucket_files.values() for f in fs])
         return bucket_files
+
+    def _stage_stats(self, rel_paths: list[str]) -> None:
+        """Footer-sweep freshly written files for the ``stats_cols``
+        zonemaps; the commit paths fold the staged entries into the new
+        snapshot via ``_next_file_stats``.  No-op when the table property
+        is unset.  (On a real cluster the write tasks would emit these —
+        parquet writers hold the stats in memory; the driver-side footer
+        sweep is the local-FS stand-in with identical output.)"""
+        from aus_land_data_etl_spark.lake.stats import collect_file_stats
+
+        cols = list(self.snapshot().properties.get("stats_cols") or [])
+        self._staged_stats = (
+            collect_file_stats(self.root, rel_paths, cols) if cols else {}
+        )
+
+    def _next_file_stats(
+        self,
+        snap: "Snapshot",
+        bucket_files: dict[str, list[str]],
+        delta_files: dict[str, list[str]],
+    ) -> dict[str, dict[str, Any]]:
+        """Zonemaps for the new snapshot: carry entries for files that
+        stay live, add the staged entries for files just written."""
+        staged = getattr(self, "_staged_stats", {})
+        live = {f for fs in bucket_files.values() for f in fs}
+        live.update(f for fs in delta_files.values() for f in fs)
+        out = {k: v for k, v in snap.file_stats.items() if k in live}
+        out.update((k, v) for k, v in staged.items() if k in live)
+        return out
 
     def overwrite(self, df: DataFrame) -> int:
         """Full rewrite of table content (bootstrap / backfill path)."""
@@ -590,6 +713,7 @@ class LakeTable:
             pending_ranges=snap.pending_ranges,
             properties=snap.properties,
             manifest_files=self._next_manifest_files(snap, new_version, None),
+            file_stats=self._next_file_stats(snap, bucket_files, {}),
         )
         self._write_snapshot(new_snap)
         return new_version
@@ -642,6 +766,7 @@ class LakeTable:
             pending_ranges=snap.pending_ranges,
             properties=properties,
             manifest_files=self._next_manifest_files(snap, new_version, None),
+            file_stats=self._next_file_stats(snap, bucket_files, {}),
         )
         self._write_snapshot(new_snap)
         return new_version
@@ -720,6 +845,7 @@ class LakeTable:
                 properties=properties,
                 delta_files=delta_files,
                 manifest_files=self._next_manifest_files(snap, new_version, manifest_rows),
+                file_stats=self._next_file_stats(snap, bucket_files, delta_files),
             )
             try:
                 self._write_snapshot(new_snap)
@@ -760,12 +886,15 @@ class LakeTable:
             "data", f"s{snapshot_version:08d}-{uuid.uuid4().hex[:8]}"
         )
         out_dir = os.path.join(self.root, rel_dir)
-        df.write.mode("overwrite").parquet(out_dir)
-        return sorted(
+        with _stats_bearing_timestamps(self.spark):
+            df.write.mode("overwrite").parquet(out_dir)
+        files = sorted(
             os.path.join(rel_dir, f)
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         )
+        self._stage_stats(files)
+        return files
 
     def commit_delta(
         self,
@@ -857,6 +986,9 @@ class LakeTable:
                 properties=properties,
                 delta_files=delta_files,
                 manifest_files=self._next_manifest_files(snap, new_version, manifest_rows),
+                file_stats=self._next_file_stats(
+                    snap, snap.bucket_files, delta_files
+                ),
             )
             try:
                 self._write_snapshot(new_snap)
@@ -932,6 +1064,9 @@ class LakeTable:
                 properties=properties,
                 delta_files=delta_files,
                 manifest_files=self._next_manifest_files(snap, new_version, None),
+                file_stats=self._next_file_stats(
+                    snap, snap.bucket_files, delta_files
+                ),
             )
             try:
                 self._write_snapshot(new_snap)

@@ -1728,6 +1728,73 @@ WHERE a.url IS NULL OR b.url IS NULL
 """
 
 
+def q_lake_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonemap file-skipping scan (Iceberg lower/upper_bounds analog):
+    the events stream is applied as 4 weekly time-banded MoR epochs, so
+    each delta layer's files carry a narrow ``warc_ts`` zonemap recorded
+    at commit time; a one-week window scan then plans via
+    ``LakeTable.plan_scan`` and OPENS only the two overlapping epochs'
+    files — the query raises if pruning skipped nothing, so the driver
+    check covers both the result values and the pruning claim."""
+    import datetime as _dt
+
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+
+    changes = events_as_changes(spark, sf_dir)
+    cuts = [
+        _dt.datetime(2024, 1, 8),
+        _dt.datetime(2024, 1, 15),
+        _dt.datetime(2024, 1, 22),
+    ]
+    d = tempfile.mkdtemp(prefix="cdc_zp_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        lo_b = None
+        for i, hi_b in enumerate(cuts + [None]):
+            b = changes
+            if lo_b is not None:
+                b = b.filter(F.col("warc_ts") >= F.lit(lo_b))
+            if hi_b is not None:
+                b = b.filter(F.col("warc_ts") < F.lit(hi_b))
+            apply_batch(table, b, epoch=i, compact_depth=100)
+            lo_b = hi_b
+        lo, hi = _dt.datetime(2024, 1, 10), _dt.datetime(2024, 1, 17)
+        preds = [("warc_ts", ">=", lo), ("warc_ts", "<", hi)]
+        kept, skipped = table.plan_scan(predicates=preds)
+        if not skipped:
+            raise RuntimeError(
+                f"zonemap pruning skipped no files ({len(kept)} kept)"
+            )
+        out = (
+            table.read(predicates=preds)  # pruned raw scan (advisory) ...
+            .filter(  # ... + the residual row filter (the sound contract)
+                (F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") < F.lit(hi))
+            )
+            .select(
+                "url",
+                "warc_ts",
+                F.col("event_id").cast("long").alias("event_id"),
+                "is_deleted",
+                "text",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_LAKE_STATS_PRUNE = """
+SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+       ts AS warc_ts,
+       event_id,
+       event_type = 'error' AS is_deleted,
+       CASE WHEN event_type = 'error' THEN NULL
+            ELSE event_type || ' value=' || CAST(value AS VARCHAR) END AS text
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
+"""
+
+
 def q_incr_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized aggregate view: apply the
     events stream as 3 micro-batch intervals, refreshing a grouped
@@ -1842,6 +1909,7 @@ QUERIES: dict[str, QueryFn] = {
     "dim_upsert": q_dim_upsert,
     "cdc_compacted_converge": q_cdc_compacted_converge,
     "lake_changelog": q_lake_changelog,
+    "lake_stats_prune": q_lake_stats_prune,
     "incr_agg_view": q_incr_agg_view,
     "j7_asof_attribution": q_j7_asof_attribution,
     "lake_time_travel": q_lake_time_travel,
@@ -1889,6 +1957,7 @@ ORACLES: dict[str, str] = {
     "dim_upsert": ORACLE_DIM_UPSERT,
     "cdc_compacted_converge": ORACLE_CDC_CONVERGE,
     "lake_changelog": ORACLE_LAKE_CHANGELOG,
+    "lake_stats_prune": ORACLE_LAKE_STATS_PRUNE,
     "incr_agg_view": ORACLE_INCR_AGG_VIEW,
     "j7_asof_attribution": ORACLE_ASOF_ATTRIBUTION,
     "lake_time_travel": ORACLE_TIME_TRAVEL,

@@ -231,6 +231,57 @@ def changelog_plan_evidence(spark) -> list[str]:
     ]
 
 
+def stats_prune_plan_evidence(spark) -> list[str]:
+    """Scan-planning evidence for zonemap file-skipping (lake/stats.py):
+
+    - time-banded MoR epochs leave per-file warc_ts bounds in the
+      snapshot; a one-band window keeps only that band's files;
+    - the pruning happens BEFORE Spark sees the scan: the pruned read's
+      ``inputFiles()`` is the kept set, not a row-group filter — at
+      100 TB that is "open 3 files", not "footer-check 200k".
+    """
+    import datetime as dt
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.cdc.generator import generate_events
+
+    d = tempfile.mkdtemp(prefix="plans_zp_")
+    t = create_pages_table(spark, d, n_buckets=4)
+    ev = generate_events(spark, 4000, seed=5)
+    lo_all, hi_all = ev.select(F.min("warc_ts"), F.max("warc_ts")).first()
+    span = (hi_all - lo_all) / 4
+    for i in range(4):
+        lo_b = lo_all + i * span
+        hi_b = lo_all + (i + 1) * span
+        cond = F.col("warc_ts") >= F.lit(lo_b)
+        if i < 3:
+            cond = cond & (F.col("warc_ts") < F.lit(hi_b))
+        apply_batch(t, ev.filter(cond), epoch=i, mode="mor", compact_depth=100)
+    mid_lo = lo_all + span + dt.timedelta(seconds=1)
+    mid_hi = lo_all + 2 * span - dt.timedelta(seconds=1)
+    preds = [("warc_ts", "between", (mid_lo, mid_hi))]
+    kept, skipped = t.plan_scan(predicates=preds)
+    n_full = len(t.read().inputFiles())
+    n_pruned = len(t.read(predicates=preds).inputFiles())
+    assert n_pruned == len(kept) and skipped, "zonemap pruning inactive"
+    assert n_pruned < n_full, "pruned scan opened the full file set"
+    return [
+        "\n## lake_stats_prune — zonemap file-skipping (scan planning)\n\n"
+        f"- 4 time-banded MoR epochs, one-band window: plan_scan keeps "
+        f"**{len(kept)}** files, skips **{len(skipped)}** of "
+        f"{len(kept) + len(skipped)} live\n"
+        f"- pruned read `inputFiles()`: **{n_pruned}** vs full scan "
+        f"**{n_full}** (skipping happens at planning, before any footer "
+        "is opened)\n"
+        "- recorded at commit time from parquet footers; advisory "
+        "contract (callers re-apply the row filter), MoR-guarded in "
+        "`read_resolved` (see lake/stats.py docstring)\n"
+    ]
+
+
 def minhash_plan_evidence(spark, sf_dir: str) -> list[str]:
     """Plan evidence for the MinHash near-dup pipeline, stage by stage and
     PRE-checkpoint (the driver query's returned frame is a localCheckpoint
@@ -350,6 +401,7 @@ def main() -> None:
     details.extend(cdc_plan_evidence(spark))
     details.extend(changelog_plan_evidence(spark))
     details.extend(minhash_plan_evidence(spark, sf_dir))
+    details.extend(stats_prune_plan_evidence(spark))
     out = "\n".join(lines) + "\n" + "".join(details)
     Path(_REPO, "PLANS.md").write_text(out)
     print(out)
