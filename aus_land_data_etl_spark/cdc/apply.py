@@ -107,6 +107,11 @@ def create_pages_table(
             # cluster rows by version time inside each bucket file —
             # tight zonemaps + better RLE; per-partition sort, no shuffle.
             "sort_cols": ["warc_ts"],
+            # parquet bloom filter on the key: point lookups (LakeTable.
+            # lookup) skip row groups inside the one bucket they open —
+            # zonemaps can't help there, hash bucketing gives every file
+            # the full url range.
+            "bloom_cols": ["url"],
         },
     )
 

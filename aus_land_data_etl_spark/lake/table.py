@@ -599,6 +599,48 @@ class LakeTable:
         raw = self.read(version=version, buckets=buckets, include_deltas=True)
         return lww_latest(raw, snap.key_col, [snap.version_col, tiebreak_col])
 
+    def key_bucket(self, key: Any, version: int | None = None) -> int:
+        """The bucket id holding ``key`` under this snapshot's layout.
+
+        Evaluated through Spark itself (a one-row local-relation job) so
+        the answer is Murmur3-identical to ``bucket_expr`` — no Python
+        reimplementation of Spark's hash to drift out of sync.
+        """
+        snap = self.snapshot(version)
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.hash(F.lit(key)), F.lit(snap.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .first()
+        )
+        return int(row["b"])
+
+    def lookup(
+        self,
+        key: Any,
+        version: int | None = None,
+        tiebreak_col: str = "event_id",
+    ) -> DataFrame:
+        """Point lookup: the current LWW row for one key (tombstone kept).
+
+        The serving-side read a CDC table needs ("current page for this
+        url"): computes the key's bucket and resolves over that bucket's
+        files only — O(table/n_buckets) no matter how big the table is,
+        plus whatever fanout delta files exist (cleared by folding).  The
+        parquet bloom filter on the key column (``bloom_cols`` table
+        property) then skips row groups inside the kept files; zonemap
+        equality pruning on the key column is useless here by design —
+        hash bucketing gives every file the full key range.
+        """
+        snap = self.snapshot(version)
+        b = self.key_bucket(key, version)
+        return self.read_resolved(
+            version=version, buckets=[b], tiebreak_col=tiebreak_col
+        ).filter(F.col(snap.key_col) == F.lit(key))
+
     # -- write -------------------------------------------------------------
     def _write_snapshot(self, snap: Snapshot) -> None:
         path = self._snap_path(snap.version)

@@ -1795,6 +1795,69 @@ WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
 """
 
 
+def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side point reads: after the CDC apply, ``LakeTable.lookup``
+    fetches the current LWW row (tombstones included) for each of 8 urls,
+    opening ONLY the key's bucket — the query raises unless every lookup's
+    ``inputFiles()`` is a strict subset of the table's files, so the
+    driver check covers the O(table/n_buckets) claim, not just values."""
+    from functools import reduce
+
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+
+    changes = events_as_changes(spark, sf_dir)
+    keys = [f"user:{i}" for i in range(1, 9)]
+    d = tempfile.mkdtemp(prefix="cdc_pl_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        for i in range(4):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            # CoW: point reads hit one-file-per-bucket base layout
+            apply_batch(table, batch, epoch=i, mode="cow")
+        snap = table.snapshot()
+        n_total = sum(len(f) for f in snap.bucket_files.values()) + sum(
+            len(f) for f in snap.delta_files.values()
+        )
+        parts = []
+        for k in keys:
+            one = table.lookup(k)
+            if not len(one.inputFiles()) < n_total:
+                raise RuntimeError(f"lookup({k!r}) opened the whole table")
+            parts.append(one)
+        out = reduce(DataFrame.unionByName, parts).select(
+            "url",
+            "warc_ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            "is_deleted",
+            "text",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_LAKE_POINT_LOOKUP = """
+WITH ranked AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts,
+         event_id,
+         event_type,
+         value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+  WHERE user_id BETWEEN 1 AND 8
+)
+SELECT url, warc_ts, event_id,
+       event_type = 'error' AS is_deleted,
+       CASE WHEN event_type = 'error' THEN NULL
+            ELSE event_type || ' value=' || CAST(value AS VARCHAR) END AS text
+FROM ranked
+WHERE rn = 1
+"""
+
+
 def q_incr_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized aggregate view: apply the
     events stream as 3 micro-batch intervals, refreshing a grouped
@@ -1910,6 +1973,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_compacted_converge": q_cdc_compacted_converge,
     "lake_changelog": q_lake_changelog,
     "lake_stats_prune": q_lake_stats_prune,
+    "lake_point_lookup": q_lake_point_lookup,
     "incr_agg_view": q_incr_agg_view,
     "j7_asof_attribution": q_j7_asof_attribution,
     "lake_time_travel": q_lake_time_travel,
@@ -1958,6 +2022,7 @@ ORACLES: dict[str, str] = {
     "cdc_compacted_converge": ORACLE_CDC_CONVERGE,
     "lake_changelog": ORACLE_LAKE_CHANGELOG,
     "lake_stats_prune": ORACLE_LAKE_STATS_PRUNE,
+    "lake_point_lookup": ORACLE_LAKE_POINT_LOOKUP,
     "incr_agg_view": ORACLE_INCR_AGG_VIEW,
     "j7_asof_attribution": ORACLE_ASOF_ATTRIBUTION,
     "lake_time_travel": ORACLE_TIME_TRAVEL,
