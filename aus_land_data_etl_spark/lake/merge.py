@@ -310,6 +310,64 @@ def append_if_absent(table: LakeTable, rows: DataFrame) -> int:
     )
 
 
+def delete_where(
+    table: LakeTable,
+    condition,
+    as_of,
+    op_id: str,
+    tiebreak_col: str = "event_id",
+    compact_depth: int = 8,
+) -> int:
+    """Predicate delete: tombstone every live row matching ``condition``
+    (GDPR erasure / retention sweep — ``DELETE FROM t WHERE ...``).
+
+    Semantics are CDC-native rather than imperative: the delete is itself
+    a change event at version ``as_of``.  Only rows whose current version
+    is STRICTLY older than ``as_of`` are tombstoned — a row updated at or
+    after the delete decision is newer information and survives, exactly
+    as a racing source delete would behave under last-writer-wins.  The
+    synthesized tombstones carry a deterministic per-key tiebreak id
+    derived from ``op_id``, and the commit is keyed by ``op_id`` too, so
+    re-running the same logical delete is an exactly-once no-op.
+
+    Scale shape: one filtered scan of the live view (bucket files +
+    deltas, zonemap/bucket pruning applies through ``condition`` pushdown)
+    and one O(victims) merge-on-read delta append — the base is never
+    rewritten; the next fold/compact reclaims the dead payload bytes.
+    """
+    snap = table.snapshot()
+    epoch_key = f"delete_where:{op_id}"
+    if snap.is_applied(epoch_key, None):
+        return snap.version
+    key, ver = snap.key_col, snap.version_col
+    victims = (
+        read_current(table, tiebreak_col)
+        .filter(condition)
+        .filter(F.col(ver) < F.lit(as_of))
+    )
+    payload_cols = [
+        c for c in victims.columns if c not in (key, ver, tiebreak_col)
+    ]
+    batch = victims.select(
+        key,
+        F.lit(as_of).cast("timestamp").alias(ver),
+        F.sha2(F.concat_ws("|", F.lit(op_id), F.col(key)), 256).alias(
+            tiebreak_col
+        ),
+        F.lit("delete").alias(OP_COL),
+        *payload_cols,
+    )
+    if batch.isEmpty():
+        return snap.version
+    return delta_merge_into(
+        table,
+        batch,
+        tiebreak_col,
+        epoch_id=epoch_key,
+        compact_depth=compact_depth,
+    )
+
+
 def compact(
     table: LakeTable, drop_tombstones: bool = True, tiebreak_col: str = "event_id"
 ) -> int:

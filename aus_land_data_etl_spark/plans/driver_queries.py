@@ -1858,6 +1858,62 @@ WHERE rn = 1
 """
 
 
+def q_lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate delete (GDPR erasure): after the CDC apply, erase 50
+    users by url predicate via ``merge.delete_where`` — an O(victims)
+    tombstone delta at an explicit version, exactly-once by op id (the
+    query re-runs it and raises if the version moved) — then return the
+    surviving live state."""
+    import datetime as _dt
+
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.merge import delete_where, read_current
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_dw_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        for i in range(4):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            apply_batch(table, batch, epoch=i)
+        as_of = read_current(table).agg(F.max("warc_ts")).first()[
+            0
+        ] + _dt.timedelta(seconds=1)
+        cond = F.col("url").isin([f"user:{i}" for i in range(1, 51)])
+        v = delete_where(table, cond, as_of, op_id="erase-users-1-50")
+        if delete_where(table, cond, as_of, op_id="erase-users-1-50") != v:
+            raise RuntimeError("delete_where replay advanced the version")
+        out = read_current(table).select(
+            "url",
+            "warc_ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            "text",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_LAKE_DELETE_WHERE = """
+WITH ranked AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts,
+         event_id,
+         event_type,
+         value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT url, warc_ts, event_id,
+       event_type || ' value=' || CAST(value AS VARCHAR) AS text
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+  AND url NOT IN (SELECT 'user:' || CAST(r AS VARCHAR) FROM range(1, 51) t(r))
+"""
+
+
 def q_incr_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized aggregate view: apply the
     events stream as 3 micro-batch intervals, refreshing a grouped
@@ -1974,6 +2030,7 @@ QUERIES: dict[str, QueryFn] = {
     "lake_changelog": q_lake_changelog,
     "lake_stats_prune": q_lake_stats_prune,
     "lake_point_lookup": q_lake_point_lookup,
+    "lake_delete_where": q_lake_delete_where,
     "incr_agg_view": q_incr_agg_view,
     "j7_asof_attribution": q_j7_asof_attribution,
     "lake_time_travel": q_lake_time_travel,
@@ -2023,6 +2080,7 @@ ORACLES: dict[str, str] = {
     "lake_changelog": ORACLE_LAKE_CHANGELOG,
     "lake_stats_prune": ORACLE_LAKE_STATS_PRUNE,
     "lake_point_lookup": ORACLE_LAKE_POINT_LOOKUP,
+    "lake_delete_where": ORACLE_LAKE_DELETE_WHERE,
     "incr_agg_view": ORACLE_INCR_AGG_VIEW,
     "j7_asof_attribution": ORACLE_ASOF_ATTRIBUTION,
     "lake_time_travel": ORACLE_TIME_TRAVEL,
