@@ -54,6 +54,7 @@ def merge_into(
     Returns the committed snapshot version.
     """
     snap = table.snapshot()
+    _reject_patch_table(snap, "merge_into")
     if snap.is_applied(epoch_id, manifest_rows if wal_offsets else None):
         return snap.version  # idempotent replay: already applied
     key, ver = snap.key_col, snap.version_col
@@ -122,6 +123,109 @@ def merge_into(
     )
 
 
+def _reject_patch_table(snap, caller: str) -> None:
+    """Row-level LWW on a per-cell-versioned table would keep the whole-row
+    winner's stale ``_cvers`` map; patch tables must stay on the
+    cell-resolving path."""
+    from aus_land_data_etl_spark.operators.patch import CELL_VERS
+
+    if any(f.name == CELL_VERS for f in snap.schema.fields):
+        raise ValueError(
+            f"{caller} cannot run on a table with per-cell versions "
+            f"({CELL_VERS} column); use merge_patch_into"
+        )
+
+
+def merge_patch_into(
+    table: LakeTable,
+    batch: DataFrame,
+    tiebreak_col: str,
+    epoch_id: str | list[str] | None = None,
+    manifest_rows: list[dict[str, Any]] | None = None,
+    touched: list[int] | None = None,
+    wal_offsets: bool = False,
+) -> int:
+    """Apply a CDC batch containing *partial-image* updates
+    (op ∈ insert/update/delete/**patch**) with per-cell LWW resolution.
+
+    Patch rows name the cells they determine in a ``_set_cols``
+    array<string> column (see operators/patch.py for the full semantics:
+    explicit-NULL assignment, patch-after-delete resurrection, and the
+    persisted ``_cvers`` map that makes the reduction associative and
+    replay-order independent).  Non-patch rows are full images exactly as
+    in :func:`merge_into`.  Copy-on-write: same bucket pruning, same ONE
+    payload shuffle, same atomic epoch-guarded commit.
+    """
+    from aus_land_data_etl_spark.operators.patch import (
+        CELL_VERS,
+        SET_COLS,
+        resolve_cells,
+    )
+
+    snap = table.snapshot()
+    if snap.is_applied(epoch_id, manifest_rows if wal_offsets else None):
+        return snap.version
+    key, ver = snap.key_col, snap.version_col
+
+    src = batch
+    if SET_COLS not in src.columns:
+        src = src.withColumn(SET_COLS, F.lit(None).cast("array<string>"))
+    src = (
+        src.withColumn(
+            DELETED_COL, F.coalesce(F.col(OP_COL) == "delete", F.lit(False))
+        )
+        # only patches carry a determined-cell set; full images and
+        # deletes determine everything (SET_COLS NULL)
+        .withColumn(
+            SET_COLS,
+            F.when(F.col(OP_COL) == "patch", F.col(SET_COLS)),
+        )
+        .drop(OP_COL)
+    )
+    payload_cols = [
+        c
+        for c in src.columns
+        if c not in (key, ver, tiebreak_col, DELETED_COL, SET_COLS)
+    ]
+    src = src.select(
+        key,
+        ver,
+        tiebreak_col,
+        DELETED_COL,
+        SET_COLS,
+        *[
+            F.when(F.col(DELETED_COL), F.lit(None)).otherwise(F.col(c)).alias(c)
+            for c in payload_cols
+        ],
+    )
+
+    if touched is None:
+        probe = src.select(bucket_expr(key, snap.n_buckets).alias("b")).distinct()
+        touched = [r[0] for r in probe.collect()]
+    current = table.read(buckets=touched)
+    if DELETED_COL not in current.columns:
+        current = current.withColumn(DELETED_COL, F.lit(False))
+
+    merged_all = current.unionByName(src, allowMissingColumns=True)
+    merged_all = merged_all.repartition(snap.n_buckets, F.col(key))
+    resolved = resolve_cells(
+        merged_all, key, ver, tiebreak_col, deleted_col=DELETED_COL
+    )
+    resolved = resolved.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
+
+    new_schema = resolved.drop(BUCKET_COL).schema
+    assert CELL_VERS in [f.name for f in new_schema.fields]
+    return table.commit_buckets(
+        resolved,
+        touched_buckets=touched,
+        schema=new_schema,
+        manifest_rows=manifest_rows,
+        epoch_id=epoch_id,
+        pre_bucketed=True,
+        wal_offsets=wal_offsets,
+    )
+
+
 def _superset_schema(table: LakeTable, batch: DataFrame):
     """Current table schema ∪ batch columns (schema evolution: added
     columns appended as nullable; existing columns keep their type)."""
@@ -161,6 +265,7 @@ def delta_merge_into(
     from aus_land_data_etl_spark.operators.dedup import lww_latest
 
     snap = table.snapshot()
+    _reject_patch_table(snap, "delta_merge_into")
     if snap.is_applied(epoch_id, manifest_rows if wal_offsets else None):
         return snap.version
     key, ver = snap.key_col, snap.version_col
@@ -270,9 +375,13 @@ def fold_deltas(table: LakeTable, tiebreak_col: str, min_stack: int = 1) -> int:
 
 def read_current(table: LakeTable, tiebreak_col: str = "event_id") -> DataFrame:
     """The live view: LWW-resolved (merge-on-read) minus tombstones."""
+    from aus_land_data_etl_spark.operators.patch import CELL_VERS
+
     df = table.read_resolved(tiebreak_col=tiebreak_col)
     if DELETED_COL in df.columns:
         df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+    if CELL_VERS in df.columns:
+        df = df.drop(CELL_VERS)
     return df
 
 

@@ -1329,6 +1329,131 @@ def q_cdc_compacted_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_cdc_patch_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-image (binlog_row_image=MINIMAL) CDC: a deterministic mix of
+    full images, deletes, and **patch** events that each set only a named
+    subset of cells — including explicit-NULL assignments — applied in 4
+    micro-batches through ``merge_patch_into`` (per-cell LWW, persisted
+    ``_cvers``).  The DuckDB oracle recomputes the same state as per-cell
+    ``arg_max`` over ALL events at once: equality proves the engine's
+    resolution is batching-independent (operators/patch.py)."""
+    from pyspark.sql import types as T
+
+    from aus_land_data_etl_spark.lake.merge import merge_patch_into, read_current
+    from aus_land_data_etl_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    is_del = F.col("event_type") == "error"
+    is_full = ~is_del & (F.pmod(eid, F.lit(7)) < 2)
+    sets_text = F.pmod(eid, F.lit(2)) == 0
+    sets_lang = F.pmod(eid, F.lit(3)) == 0
+    full_text = F.concat(
+        F.col("event_type"), F.lit(" value="), F.col("value").cast("string")
+    )
+    full_lang = F.concat(F.lit("l"), F.pmod(F.col("user_id"), F.lit(3)).cast("string"))
+    p_text = F.concat(F.lit("patched:"), F.col("value").cast("string"))
+    # explicit-NULL lang assignment every 9th event (still NAMED in
+    # _set_cols, so it overwrites — the SQL "SET lang = NULL" case)
+    p_lang = F.when(
+        F.pmod(eid, F.lit(9)) == 0, F.lit(None).cast("string")
+    ).otherwise(F.concat(F.lit("p"), F.pmod(eid, F.lit(5)).cast("string")))
+    empty = F.array().cast("array<string>")
+    patch_sets = F.concat(
+        F.when(sets_text, F.array(F.lit("text"))).otherwise(empty),
+        F.when(sets_lang, F.array(F.lit("lang"))).otherwise(empty),
+        F.array(F.lit("score")),
+    )
+    changes = ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        eid.cast("string").alias("event_id"),
+        F.when(is_del, "delete").when(is_full, "insert").otherwise("patch").alias(
+            "op"
+        ),
+        F.when(is_full, full_text).when(sets_text, p_text).alias("text"),
+        F.when(is_full, full_lang).when(sets_lang, p_lang).alias("lang"),
+        F.when(is_full, F.col("value")).otherwise(F.col("value") + 0.5).alias(
+            "score"
+        ),
+        F.when(~is_del & ~is_full, patch_sets).alias("_set_cols"),
+        F.pmod(eid, F.lit(4)).alias("_b"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("event_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    d = tempfile.mkdtemp(prefix="cdc_p_")
+    try:
+        table = LakeTable.create(
+            spark, d, schema=schema, key_col="url", version_col="warc_ts",
+            n_buckets=8,
+        )
+        for i in range(4):
+            batch = changes.filter(F.col("_b") == i).drop("_b")
+            merge_patch_into(table, batch, "event_id", epoch_id=str(i))
+        out = read_current(table, tiebreak_col="event_id").select(
+            "url",
+            "warc_ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            "text",
+            "lang",
+            F.round(F.col("score"), 2).alias("score"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# Per-cell LWW over ALL events at once (no batching): cell value = value
+# from the newest event that DETERMINES the cell (full images and deletes
+# determine everything; patches the named subset).  Values are struct-
+# wrapped because DuckDB's bare arg_max skips NULL args and an explicit-
+# NULL patch must win.  vkey zero-pads (epoch_us, event_id) into one
+# lexicographically-ordered key (DuckDB arg_max takes scalar orderings).
+ORACLE_CDC_PATCH = """
+WITH ev AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+         ts, event_id,
+         event_type = 'error' AS is_del,
+         event_type <> 'error' AND (event_id % 7) < 2 AS is_full,
+         printf('%020d|%020d', CAST(epoch_us(ts) AS BIGINT), event_id) AS vkey,
+         event_type || ' value=' || CAST(value AS VARCHAR) AS full_text,
+         'l' || CAST(user_id % 3 AS VARCHAR) AS full_lang,
+         'patched:' || CAST(value AS VARCHAR) AS p_text,
+         CASE WHEN event_id % 9 = 0 THEN NULL
+              ELSE 'p' || CAST(event_id % 5 AS VARCHAR) END AS p_lang,
+         value,
+         (event_id % 2) = 0 AS sets_text,
+         (event_id % 3) = 0 AS sets_lang
+  FROM events
+)
+SELECT url,
+       arg_max(ts, vkey) AS warc_ts,
+       arg_max(event_id, vkey) AS event_id,
+       (arg_max({'v': CASE WHEN is_del THEN NULL
+                           WHEN is_full THEN full_text
+                           ELSE p_text END}, vkey)
+          FILTER (WHERE is_del OR is_full OR sets_text)).v AS text,
+       (arg_max({'v': CASE WHEN is_del THEN NULL
+                           WHEN is_full THEN full_lang
+                           ELSE p_lang END}, vkey)
+          FILTER (WHERE is_del OR is_full OR sets_lang)).v AS lang,
+       ROUND((arg_max({'v': CASE WHEN is_del THEN NULL
+                                 WHEN is_full THEN value
+                                 ELSE value + 0.5 END}, vkey)).v, 2) AS score
+FROM ev
+GROUP BY url
+HAVING NOT arg_max(is_del, vkey)
+"""
+
+
 def q_text_grammar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured extraction grammar over free text (the reference F14
     analog beyond plain text: its property-description parser classifies
@@ -2036,6 +2161,7 @@ QUERIES: dict[str, QueryFn] = {
     "lake_time_travel": q_lake_time_travel,
     "lineage_audit": q_lineage_audit,
     "cdc_rebucket_converge": q_cdc_rebucket_converge,
+    "cdc_patch_converge": q_cdc_patch_converge,
 }
 
 ORACLES: dict[str, str] = {
@@ -2086,6 +2212,7 @@ ORACLES: dict[str, str] = {
     "lake_time_travel": ORACLE_TIME_TRAVEL,
     "lineage_audit": ORACLE_LINEAGE_AUDIT,
     "cdc_rebucket_converge": ORACLE_CDC_CONVERGE,
+    "cdc_patch_converge": ORACLE_CDC_PATCH,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above
     # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are

@@ -1,0 +1,328 @@
+"""Partial-image (patch) CDC semantics: per-cell LWW with ``_cvers``.
+
+Covers the contract documented in operators/patch.py:
+explicit-NULL patches, patch-after-delete resurrection, out-of-order
+patches, associativity across arbitrary batch splits, exactly-once
+replay, and the merge guard that keeps row-level LWW off cell-versioned
+tables.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aus_land_data_etl_spark.lake.merge import (
+    merge_into,
+    merge_patch_into,
+    read_current,
+)
+from aus_land_data_etl_spark.lake.table import LakeTable
+from aus_land_data_etl_spark.operators.patch import CELL_VERS, SET_COLS, resolve_cells
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("event_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+TS = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+
+
+def _events(spark, rows):
+    """rows: (url, sec, event_id, op, text, lang, score, set_cols)."""
+    data = [
+        (u, TS(s), e, op, tx, lg, sc, sets)
+        for (u, s, e, op, tx, lg, sc, sets) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "url string, warc_ts timestamp, event_id string, op string, "
+        "text string, lang string, score double, _set_cols array<string>",
+    )
+
+
+def _mk_table(spark, d):
+    return LakeTable.create(
+        spark, d, schema=SCHEMA, key_col="url", version_col="warc_ts", n_buckets=4
+    )
+
+
+def _state(table):
+    rows = read_current(table).collect()
+    return {
+        r["url"]: (r["text"], r["lang"], r["score"], r["warc_ts"]) for r in rows
+    }
+
+
+def test_patch_overlays_only_named_cells(spark, tmp_table_dir):
+    t = _mk_table(spark, tmp_table_dir)
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "full", "en", 1.0, None),
+                # newer patch sets ONLY score; text/lang keep the insert's
+                ("a", 20, "e2", "patch", None, None, 2.5, ["score"]),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+    )
+    assert _state(t)["a"] == ("full", "en", 2.5, TS(20))
+
+
+def test_explicit_null_patch_wins(spark, tmp_table_dir):
+    t = _mk_table(spark, tmp_table_dir)
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "full", "en", 1.0, None),
+                # names lang but ships NULL: an explicit NULL assignment
+                ("a", 20, "e2", "patch", None, None, None, ["lang"]),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+    )
+    assert _state(t)["a"] == ("full", None, 1.0, TS(20))
+
+
+def test_out_of_order_patches_within_batch(spark, tmp_table_dir):
+    t = _mk_table(spark, tmp_table_dir)
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                # delivery order ≠ version order: newest text is e3's
+                ("a", 30, "e3", "patch", "newest", None, None, ["text"]),
+                ("a", 10, "e1", "insert", "oldest", "en", 1.0, None),
+                ("a", 20, "e2", "patch", "middle", None, None, ["text"]),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+    )
+    assert _state(t)["a"] == ("newest", "en", 1.0, TS(30))
+
+
+def test_old_patch_across_batches_still_wins_its_cell(spark, tmp_table_dir):
+    """An out-of-order patch arriving a batch late must still win the cell
+    it is newest for — the persisted ``_cvers`` map carries per-cell
+    versions across the fold, so batching cannot change the outcome."""
+    t = _mk_table(spark, tmp_table_dir)
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "base", "en", 1.0, None),
+                ("a", 40, "e4", "patch", None, "de", None, ["lang"]),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+    )
+    # ts=20 patch arrives AFTER the ts=40 patch was folded in.  Row
+    # version is 40, but text was last determined at ts=10 — the late
+    # patch (ts=20) must override text while lang stays at ts=40's 'de'.
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [("a", 20, "e2", "patch", "late-text", None, None, ["text"])],
+        ),
+        "event_id",
+        epoch_id="1",
+    )
+    assert _state(t)["a"] == ("late-text", "de", 1.0, TS(40))
+
+
+def test_patch_after_delete_resurrects_sparse_row(spark, tmp_table_dir):
+    t = _mk_table(spark, tmp_table_dir)
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "full", "en", 1.0, None),
+                ("a", 20, "e2", "delete", None, None, None, None),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+    )
+    assert "a" not in _state(t)
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [("a", 30, "e3", "patch", "back", None, None, ["text"])],
+        ),
+        "event_id",
+        epoch_id="1",
+    )
+    # resurrected: patched cell set, everything else cleared by the delete
+    assert _state(t)["a"] == ("back", None, None, TS(30))
+
+
+def test_delete_newer_than_patch_wins(spark, tmp_table_dir):
+    t = _mk_table(spark, tmp_table_dir)
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "full", "en", 1.0, None),
+                ("a", 30, "e3", "delete", None, None, None, None),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+    )
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [("a", 20, "e2", "patch", "stale", None, None, ["text"])],
+        ),
+        "event_id",
+        epoch_id="1",
+    )
+    assert "a" not in _state(t)
+
+
+@pytest.mark.parametrize("splits", [1, 2, 5])
+def test_associative_across_any_batching(spark, tmp_table_dir, splits):
+    """Same event set, different micro-batch splits → identical state."""
+    rows = [
+        ("a", 10, "e01", "insert", "t0", "en", 1.0, None),
+        ("a", 50, "e05", "patch", None, None, 5.0, ["score"]),
+        ("a", 30, "e03", "patch", "t3", None, None, ["text"]),
+        ("a", 40, "e04", "patch", None, "fr", None, ["lang"]),
+        ("a", 20, "e02", "update", "t2", "de", 2.0, None),
+        ("b", 15, "e11", "insert", "b0", "en", 0.0, None),
+        ("b", 25, "e12", "delete", None, None, None, None),
+        ("b", 35, "e13", "patch", None, None, 9.0, ["score"]),
+        ("c", 12, "e21", "insert", "c0", None, 3.0, None),
+        ("c", 11, "e22", "patch", None, "it", None, ["lang"]),
+    ]
+    t = _mk_table(spark, tmp_table_dir)
+    for i in range(splits):
+        batch = [r for j, r in enumerate(rows) if j % splits == i]
+        merge_patch_into(t, _events(spark, batch), "event_id", epoch_id=str(i))
+    # expected per-cell LWW state, independent of the split:
+    assert _state(t) == {
+        "a": ("t3", "fr", 5.0, TS(50)),
+        "b": (None, None, 9.0, TS(35)),
+        # c's lang patch (ts=11) is OLDER than the insert (ts=12): loses
+        "c": ("c0", None, 3.0, TS(12)),
+    }
+
+
+def test_exactly_once_replay(spark, tmp_table_dir):
+    t = _mk_table(spark, tmp_table_dir)
+    b = _events(
+        spark,
+        [
+            ("a", 10, "e1", "insert", "full", "en", 1.0, None),
+            ("a", 20, "e2", "patch", None, None, 7.0, ["score"]),
+        ],
+    )
+    v1 = merge_patch_into(t, b, "event_id", epoch_id="0")
+    v2 = merge_patch_into(t, b, "event_id", epoch_id="0")  # replay
+    assert v1 == v2
+    assert _state(t)["a"] == ("full", "en", 7.0, TS(20))
+
+
+def test_row_lww_guard_on_patch_tables(spark, tmp_table_dir):
+    t = _mk_table(spark, tmp_table_dir)
+    merge_patch_into(
+        t,
+        _events(spark, [("a", 10, "e1", "insert", "x", "en", 1.0, None)]),
+        "event_id",
+        epoch_id="0",
+    )
+    full = _events(
+        spark, [("a", 20, "e2", "update", "y", "de", 2.0, None)]
+    ).drop(SET_COLS)
+    with pytest.raises(ValueError, match="merge_patch_into"):
+        merge_into(t, full, "event_id", epoch_id="1")
+
+
+def test_schema_evolution_under_patches(spark, tmp_table_dir):
+    """A patch naming a column the table has never seen adds it (nullable)
+    and determines it for that key only."""
+    t = _mk_table(spark, tmp_table_dir)
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "x", "en", 1.0, None),
+                ("b", 10, "e2", "insert", "y", "de", 2.0, None),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+    )
+    evolved = _events(
+        spark, [("a", 20, "e3", "patch", None, None, None, ["fetch_status"])]
+    ).withColumn("fetch_status", F.lit(404))
+    merge_patch_into(t, evolved, "event_id", epoch_id="1")
+    got = {
+        r["url"]: r["fetch_status"]
+        for r in read_current(t).select("url", "fetch_status").collect()
+    }
+    assert got == {"a": 404, "b": None}
+
+
+def test_resolve_cells_is_reapplicable(spark):
+    """The output of resolve_cells is a valid stored-row input: reducing
+    in two stages equals reducing in one (the associativity the two-level
+    salt split and MoR folds rely on)."""
+    df = _events(
+        spark,
+        [
+            ("a", 10, "e1", "insert", "t0", "en", 1.0, None),
+            ("a", 30, "e3", "patch", "t3", None, None, ["text"]),
+            ("a", 20, "e2", "patch", None, "fr", 2.0, ["lang", "score"]),
+        ],
+    ).withColumn(
+        "is_deleted", F.col("op") == "delete"
+    ).drop("op")
+    once = resolve_cells(df, "url", "warc_ts", "event_id").collect()
+    first = resolve_cells(
+        df.filter(F.col("event_id") != "e3"), "url", "warc_ts", "event_id"
+    )
+    again = resolve_cells(
+        first.unionByName(
+            df.filter(F.col("event_id") == "e3").withColumn(
+                CELL_VERS,
+                F.lit(None).cast(
+                    "map<string,struct<v:timestamp,t:string>>"
+                ),
+            ),
+            allowMissingColumns=True,
+        ),
+        "url",
+        "warc_ts",
+        "event_id",
+    ).collect()
+    as_dict = lambda rows: {  # noqa: E731
+        r["url"]: (r["text"], r["lang"], r["score"], r["warc_ts"], dict(r[CELL_VERS]))
+        for r in rows
+    }
+    assert as_dict(once) == as_dict(again)
