@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import uuid
 from contextlib import contextmanager
@@ -1254,6 +1255,96 @@ class LakeTable:
         for f in os.listdir(self._snap_dir):
             if f.startswith("v") and int(f[1:9]) not in keep:
                 os.remove(os.path.join(self._snap_dir, f))
+
+    def vacuum_orphans(
+        self, grace_seconds: float = 3600.0, now: float | None = None
+    ) -> dict[str, int]:
+        """Remove files NO on-disk snapshot descriptor references — the
+        Iceberg ``remove_orphan_files`` analog, complementing
+        ``expire_snapshots`` (which handles *retention*; this handles
+        *failures*): data dirs written by committers that lost the
+        descriptor's O_EXCL race and then crashed or raised
+        ``ConflictError`` before rebasing, manifest spills from the same
+        losers, crash leftovers (``_SUCCESS``-only or empty data dirs the
+        retention sweep skips), and orphaned descriptor-staging tmp files.
+
+        Safety is **age-gated**, never inferred from names: a racer's
+        data dir can embed a version ≤ the current one and still be about
+        to commit (the rebase path reuses its files under a later
+        version), so the only sound local-FS guard is "unreferenced AND
+        untouched for longer than any plausible in-flight commit" —
+        ``grace_seconds`` (Iceberg's ``older_than``, default 1 h here).
+        Unreferenced files newer than the grace window are left alone.
+
+        Reclaims at file granularity (a dir that still holds referenced
+        or fresh files survives, minus its dead members) and removes
+        data dirs left empty.  Returns removal counts.
+        """
+        import time as _time
+
+        now = _time.time() if now is None else now
+        cutoff = now - grace_seconds
+        live: set[str] = set()
+        live_manifests: set[str] = set()
+        for f in os.listdir(self._snap_dir):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            try:
+                s = self.snapshot(int(f[1:9]))
+            except FileNotFoundError:
+                continue
+            for fs in s.bucket_files.values():
+                live.update(fs)
+            for fs in s.delta_files.values():
+                live.update(fs)
+            live_manifests.update(s.manifest_files)
+
+        def _old(path: str) -> bool:
+            try:
+                return os.path.getmtime(path) < cutoff
+            except OSError:
+                return False  # vanished concurrently: nothing to do
+
+        removed = {"data_files": 0, "data_dirs": 0, "manifests": 0, "tmp_files": 0}
+        data_dir = os.path.join(self.root, "data")
+        if os.path.isdir(data_dir):
+            for sdir in sorted(os.listdir(data_dir)):
+                full = os.path.join(data_dir, sdir)
+                if not os.path.isdir(full):
+                    continue
+                # age check BEFORE removing members: deleting a file
+                # refreshes the parent dir's mtime
+                was_old = _old(full)
+                kept = 0
+                for base, _dirs, files in os.walk(full):
+                    for f in files:
+                        p = os.path.join(base, f)
+                        rel = os.path.relpath(p, self.root)
+                        if f.endswith(".parquet") and rel in live:
+                            kept += 1
+                        elif _old(p):
+                            os.remove(p)
+                            removed["data_files"] += 1
+                        else:
+                            kept += 1  # fresh: maybe in-flight
+                if kept == 0 and was_old:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed["data_dirs"] += 1
+        if os.path.isdir(self._manifest_dir):
+            for f in os.listdir(self._manifest_dir):
+                p = os.path.join(self._manifest_dir, f)
+                referenced = f in live_manifests
+                if not referenced and _old(p):
+                    os.remove(p)
+                    removed["manifests"] += 1
+        for f in os.listdir(self._snap_dir):
+            if f.startswith("v") and f.endswith(".json") or f == "_VERSION":
+                continue
+            p = os.path.join(self._snap_dir, f)
+            if os.path.isfile(p) and _old(p):
+                os.remove(p)  # mkstemp leftover from a crashed pointer swap
+                removed["tmp_files"] += 1
+        return removed
 
     def history(self) -> DataFrame:
         """Retained snapshots as a metadata DataFrame (Iceberg's

@@ -84,6 +84,7 @@ def run_stream(
     views: list | None = None,
     expire_every: int | None = 16,
     expire_keep_last: int = 4,
+    vacuum_grace_seconds: float | None = 3600.0,
 ) -> StreamResult:
     """Tail the WAL directory into the table; drain and return stats.
 
@@ -103,6 +104,10 @@ def run_stream(
     need time travel over the whole run manage expiry themselves).
     Time-travel depth shrinks to ``expire_keep_last`` — changelog
     consumers must keep up within that many epochs.
+
+    ``vacuum_grace_seconds`` — each maintenance tick also runs
+    ``vacuum_orphans`` (age-gated removal of files no descriptor
+    references: dead OCC losers, crash leftovers).  ``None`` disables.
     """
     registry = SchemaRegistry()
     counters = {"batches": 0, "rows": 0}
@@ -139,6 +144,11 @@ def run_stream(
             v.refresh()
         if expire_every and counters["batches"] % expire_every == 0:
             table.expire_snapshots(keep_last=expire_keep_last)
+            if vacuum_grace_seconds is not None:
+                # failure debris (dead OCC losers, crash leftovers) ages
+                # out alongside retention; age gate keeps this safe even
+                # with concurrent committers on the same table
+                table.vacuum_orphans(grace_seconds=vacuum_grace_seconds)
 
     reader = (
         spark.readStream.schema(EVENT_SCHEMA)
