@@ -210,3 +210,133 @@ def read_changes(
         .filter(F.col(CHANGE_TYPE_COL).isNotNull())
         .select(CHANGE_TYPE_COL, *image)
     )
+
+
+class StaleCursorError(RuntimeError):
+    """The subscription's acked version has been expired from the table's
+    retained snapshot window — the consumer fell more than
+    ``expire_keep_last`` epochs behind and must re-bootstrap."""
+
+
+class ChangelogSubscription:
+    """Durable, resumable cursor over the table's snapshot history — the
+    external-consumer form of the changelog read (Kafka-connector /
+    Iceberg incremental-scan pattern; the in-process form with its own
+    epoch guards is ``lake/incremental.AggView``).
+
+    Delivery contract: **at-least-once intervals, exactly-once state**.
+    ``poll()`` returns the net changes from the acked cursor to the
+    current snapshot plus the target version; the consumer applies them
+    to its sink and only then calls ``ack(version)``, which persists the
+    cursor atomically (tmp + rename, the same O_EXCL-adjacent discipline
+    as the table's own commits).  A crash between sink write and ack
+    redelivers — but a *net* diff from the same acked position is a
+    deterministic function of (cursor, current), so an idempotent sink
+    (upsert by key, delete by key) converges; there is no partial-batch
+    state to reconcile, unlike a raw WAL tail.
+
+    Falling behind: the diff needs the acked version's descriptor; once
+    ``expire_snapshots`` drops it the next ``poll()`` raises
+    :class:`StaleCursorError` (never a partial diff) and the consumer
+    re-bootstraps via ``start_at="origin"``.
+
+    ``start_at`` — ``"current"`` (default): first poll sees only changes
+    committed after subscribing; ``"origin"``: the first poll delivers
+    the full live view as inserts (bootstrap), regardless of whether the
+    table's early descriptors still exist.
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        cursor_path: str,
+        tiebreak_col: str = "event_id",
+        with_preimages: bool = False,
+        start_at: str = "current",
+    ):
+        import os
+
+        if start_at not in ("current", "origin"):
+            raise ValueError("start_at must be 'current' or 'origin'")
+        self.table = table
+        self.cursor_path = cursor_path
+        self.tiebreak_col = tiebreak_col
+        self.with_preimages = with_preimages
+        if not os.path.exists(cursor_path) and start_at == "current":
+            self._persist(table.current_version())
+
+    @property
+    def position(self) -> int | None:
+        """Last acked version; None only before an origin bootstrap."""
+        import json
+        import os
+
+        if not os.path.exists(self.cursor_path):
+            return None
+        with open(self.cursor_path) as f:
+            return int(json.load(f)["version"])
+
+    def _persist(self, version: int) -> None:
+        import json
+        import os
+        import tempfile
+
+        d = os.path.dirname(os.path.abspath(self.cursor_path))
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, "table": self.table.root}, f)
+        os.replace(tmp, self.cursor_path)
+
+    def poll(self) -> tuple[DataFrame, int] | None:
+        """Net changes from the acked cursor to the current snapshot, plus
+        the version to ``ack`` after the sink succeeds.  ``None`` when
+        there is nothing new."""
+        current = self.table.current_version()
+        frm = self.position
+        if frm is None:  # origin bootstrap: full live view as inserts
+            from aus_land_data_etl_spark.lake.merge import read_current
+
+            live = read_current(self.table, tiebreak_col=self.tiebreak_col)
+            return (
+                live.select(  # CDF bootstrap rows are plain inserts
+                    F.lit("insert").alias(CHANGE_TYPE_COL),
+                    *[F.col(c) for c in live.columns],
+                ),
+                current,
+            )
+        if frm >= current:
+            return None
+        try:
+            df = read_changes(
+                self.table,
+                frm,
+                current,
+                tiebreak_col=self.tiebreak_col,
+                with_preimages=self.with_preimages,
+            )
+        except FileNotFoundError as e:
+            raise StaleCursorError(
+                f"cursor at version {frm} is older than the retained "
+                f"snapshot window; re-bootstrap with start_at='origin'"
+            ) from e
+        return df, current
+
+    def ack(self, version: int) -> None:
+        """Persist the cursor; refuses to move backward (a stale ack from
+        a crashed older consumer instance must not rewind a newer one)."""
+        pos = self.position
+        if pos is not None and version < pos:
+            raise ValueError(f"ack({version}) behind cursor {pos}")
+        self._persist(version)
+
+    def process_once(self, sink) -> int | None:
+        """poll → ``sink(changes_df, target_version)`` → ack.  Returns the
+        acked version, or None if there was nothing to consume."""
+        got = self.poll()
+        if got is None:
+            return None
+        df, target = got
+        sink(df, target)
+        self.ack(target)
+        return target

@@ -1454,6 +1454,60 @@ HAVING NOT arg_max(is_del, vkey)
 """
 
 
+def q_changelog_subscribe_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-out round trip: a downstream mirror built ONLY from
+    ``ChangelogSubscription`` poll/ack batches (never reading the table
+    directly) must equal the table's final LWW state — the contract that
+    makes the lake a change *source* for derived pipelines, not just a
+    sink.  Oracle: the same final state straight from the events
+    (ORACLE_CDC_CONVERGE)."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.changelog import ChangelogSubscription
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_sub_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        sub = ChangelogSubscription(
+            table, os.path.join(d, "_subscribers", "mirror.json"),
+            start_at="origin",
+        )
+        mirror = (
+            table.read(buckets=[])
+            .select("url", "warc_ts", "event_id", "text")
+            .limit(0)
+            .localCheckpoint(eager=True)
+        )
+        for i in range(4):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            apply_batch(table, batch, epoch=i)
+            got = sub.poll()
+            if got is None:
+                continue
+            ch, target = got
+            ch = ch.select("change_type", "url", "warc_ts", "event_id", "text")
+            # idempotent keyed sink: drop every changed key, re-insert
+            # the after images (deletes contribute no after image)
+            mirror = (
+                mirror.join(ch.select("url"), "url", "left_anti")
+                .unionByName(
+                    ch.filter(F.col("change_type") != "delete").drop(
+                        "change_type"
+                    )
+                )
+                .localCheckpoint(eager=True)
+            )
+            sub.ack(target)
+        return mirror.select(
+            "url",
+            "warc_ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            "text",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_text_grammar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured extraction grammar over free text (the reference F14
     analog beyond plain text: its property-description parser classifies
@@ -2162,6 +2216,7 @@ QUERIES: dict[str, QueryFn] = {
     "lineage_audit": q_lineage_audit,
     "cdc_rebucket_converge": q_cdc_rebucket_converge,
     "cdc_patch_converge": q_cdc_patch_converge,
+    "changelog_subscribe_reconstruct": q_changelog_subscribe_reconstruct,
 }
 
 ORACLES: dict[str, str] = {
@@ -2213,6 +2268,7 @@ ORACLES: dict[str, str] = {
     "lineage_audit": ORACLE_LINEAGE_AUDIT,
     "cdc_rebucket_converge": ORACLE_CDC_CONVERGE,
     "cdc_patch_converge": ORACLE_CDC_PATCH,
+    "changelog_subscribe_reconstruct": ORACLE_CDC_CONVERGE,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above
     # (ngram_jaccard_pairs, emb_neardup_cosine, emb_topk_bruteforce) are
