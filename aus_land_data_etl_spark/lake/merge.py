@@ -313,6 +313,127 @@ def delta_merge_into(
     return v
 
 
+def delta_merge_patch_into(
+    table: LakeTable,
+    batch: DataFrame,
+    tiebreak_col: str,
+    epoch_id: str | list[str] | None = None,
+    manifest_rows: list[dict[str, Any]] | None = None,
+    compact_depth: int = 8,
+    fanout: bool = True,
+    wal_offsets: bool = False,
+) -> int:
+    """Merge-on-read apply for *partial-image* batches: O(batch) per epoch.
+
+    The scale path for minimal-row-image binlogs: a patch flipping one
+    small column on a multi-MB ``html`` row appends bytes proportional to
+    the PATCH, not the row — the base is never read or rewritten.  Delta
+    files persist the ``_set_cols`` cell list; readers resolve per-cell
+    LWW over base ∪ deltas (``read_resolved`` routes patch tables through
+    ``resolve_cells``), and folds reduce with the same associative
+    aggregation, so any fold/batch grouping converges identically
+    (operators/patch.py).  With ``fanout`` the write needs no shuffle;
+    otherwise the batch is cell-pre-reduced and bucket-clustered first.
+    """
+    from aus_land_data_etl_spark.operators.patch import (
+        CELL_VERS,
+        SET_COLS,
+        resolve_cells,
+    )
+
+    snap = table.snapshot()
+    if snap.is_applied(epoch_id, manifest_rows if wal_offsets else None):
+        return snap.version
+    key, ver = snap.key_col, snap.version_col
+    src = batch
+    if SET_COLS not in src.columns:
+        src = src.withColumn(SET_COLS, F.lit(None).cast("array<string>"))
+    src = (
+        src.withColumn(
+            DELETED_COL, F.coalesce(F.col(OP_COL) == "delete", F.lit(False))
+        )
+        .withColumn(SET_COLS, F.when(F.col(OP_COL) == "patch", F.col(SET_COLS)))
+        .drop(OP_COL)
+    )
+    payload_cols = [
+        c
+        for c in src.columns
+        if c not in (key, ver, tiebreak_col, DELETED_COL, SET_COLS)
+    ]
+    src = src.select(
+        key,
+        ver,
+        tiebreak_col,
+        DELETED_COL,
+        SET_COLS,
+        *[
+            F.when(F.col(DELETED_COL), F.lit(None)).otherwise(F.col(c)).alias(c)
+            for c in payload_cols
+        ],
+    )
+    if not fanout:
+        src = src.repartition(snap.n_buckets, F.col(key))
+        src = resolve_cells(src, key, ver, tiebreak_col, deleted_col=DELETED_COL)
+    schema = _superset_schema(table, src)
+    aligned = src.select(
+        *[
+            F.col(f.name)
+            if f.name in src.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
+        *([] if fanout else [bucket_expr(key, snap.n_buckets).alias(BUCKET_COL)]),
+    )
+    v = table.commit_delta(
+        aligned,
+        schema=schema,
+        manifest_rows=manifest_rows,
+        epoch_id=epoch_id,
+        pre_bucketed=True,
+        fanout=fanout,
+        wal_offsets=wal_offsets,
+    )
+    if table.max_delta_depth() >= compact_depth:
+        v = fold_deltas(table, tiebreak_col, min_stack=compact_depth)
+    return v
+
+
+def _is_patch_table(snap) -> bool:
+    from aus_land_data_etl_spark.operators.patch import CELL_VERS, SET_COLS
+
+    names = {f.name for f in snap.schema.fields}
+    return SET_COLS in names or CELL_VERS in names
+
+
+def _reduce_for(table: LakeTable, tiebreak_col: str):
+    """The table's LWW reduction: per-cell for patch tables, per-row
+    otherwise.  Both are associative, so folds/clustering may apply them
+    to any subset of layers."""
+    snap = table.snapshot()
+    if _is_patch_table(snap):
+        from aus_land_data_etl_spark.operators.patch import resolve_cells
+
+        return lambda df: resolve_cells(
+            df, snap.key_col, snap.version_col, tiebreak_col
+        )
+    return lambda df: lww_latest(
+        df, snap.key_col, [snap.version_col, tiebreak_col]
+    )
+
+
+def _align_to(df: DataFrame, schema) -> DataFrame:
+    """Project df onto schema's column set/order (missing → typed NULL)."""
+    return df.select(
+        *[
+            F.col(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
+        *[c for c in df.columns if c not in {f.name for f in schema.fields}],
+    )
+
+
 def cluster_fanout_deltas(table: LakeTable, tiebreak_col: str) -> int:
     """L0→L1: cluster the fanout (``"*"``) delta files into one per-bucket
     delta layer.
@@ -332,9 +453,12 @@ def cluster_fanout_deltas(table: LakeTable, tiebreak_col: str) -> int:
         *[os.path.join(table.root, f) for f in files]
     )
     df = df.repartition(snap.n_buckets, F.col(snap.key_col))
-    df = lww_latest(df, snap.key_col, [snap.version_col, tiebreak_col])
+    df = _reduce_for(table, tiebreak_col)(df)
+    df = _align_to(df, snap.schema)  # keep _set_cols etc. readable in situ
     df = df.withColumn(BUCKET_COL, bucket_expr(snap.key_col, snap.n_buckets))
-    return table.commit_clustered_deltas(df)
+    return table.commit_clustered_deltas(
+        df, schema=df.drop(BUCKET_COL).schema
+    )
 
 
 def fold_deltas(table: LakeTable, tiebreak_col: str, min_stack: int = 1) -> int:
@@ -362,26 +486,30 @@ def fold_deltas(table: LakeTable, tiebreak_col: str, min_stack: int = 1) -> int:
         return snap.version
     resolved = table.read_resolved(buckets=touched, tiebreak_col=tiebreak_col)
     resolved = resolved.repartition(snap.n_buckets, F.col(snap.key_col))
+    # patch tables: resolution consumed _set_cols and materialised _cvers;
+    # align so remaining (unfolded) delta layers stay readable
+    resolved = _align_to(resolved, snap.schema)
     resolved = resolved.withColumn(
         BUCKET_COL, bucket_expr(snap.key_col, snap.n_buckets)
     )
     return table.commit_buckets(
         resolved,
         touched_buckets=touched,
-        schema=snap.schema,
+        schema=resolved.drop(BUCKET_COL).schema,
         pre_bucketed=True,
     )
 
 
 def read_current(table: LakeTable, tiebreak_col: str = "event_id") -> DataFrame:
     """The live view: LWW-resolved (merge-on-read) minus tombstones."""
-    from aus_land_data_etl_spark.operators.patch import CELL_VERS
+    from aus_land_data_etl_spark.operators.patch import CELL_VERS, SET_COLS
 
     df = table.read_resolved(tiebreak_col=tiebreak_col)
     if DELETED_COL in df.columns:
         df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
-    if CELL_VERS in df.columns:
-        df = df.drop(CELL_VERS)
+    for internal in (CELL_VERS, SET_COLS):
+        if internal in df.columns:
+            df = df.drop(internal)
     return df
 
 
@@ -468,7 +596,8 @@ def delete_where(
     )
     if batch.isEmpty():
         return snap.version
-    return delta_merge_into(
+    delta = delta_merge_patch_into if _is_patch_table(snap) else delta_merge_into
+    return delta(
         table,
         batch,
         tiebreak_col,

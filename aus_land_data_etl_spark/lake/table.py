@@ -589,6 +589,11 @@ class LakeTable:
         speed); fold first for pruned reads.
         """
         from aus_land_data_etl_spark.operators.dedup import lww_latest
+        from aus_land_data_etl_spark.operators.patch import (
+            CELL_VERS,
+            SET_COLS,
+            resolve_cells,
+        )
 
         snap = self.snapshot(version)
         if not snap.delta_files:
@@ -598,6 +603,14 @@ class LakeTable:
                 predicates=predicates,
             )
         raw = self.read(version=version, buckets=buckets, include_deltas=True)
+        names = {f.name for f in snap.schema.fields}
+        if SET_COLS in names or CELL_VERS in names:
+            # partial-image table: row-level LWW would let a whole-row
+            # winner erase cells an older patch still owns — resolve
+            # per cell (operators/patch.py)
+            return resolve_cells(
+                raw, snap.key_col, snap.version_col, tiebreak_col
+            )
         return lww_latest(raw, snap.key_col, [snap.version_col, tiebreak_col])
 
     def key_bucket(self, key: Any, version: int | None = None) -> int:
@@ -1050,7 +1063,9 @@ class LakeTable:
             f"lost the descriptor race {max_retries + 1} times in a row"
         )
 
-    def commit_clustered_deltas(self, clustered: DataFrame) -> int:
+    def commit_clustered_deltas(
+        self, clustered: DataFrame, schema: T.StructType | None = None
+    ) -> int:
         """L0→L1 reorganisation: replace the fanout (``"*"``) delta files
         with per-bucket delta layers.
 
@@ -1076,6 +1091,13 @@ class LakeTable:
         input_star = set(snap.delta_files["*"])
         new_version = snap.version + 1
         new_files = self._write_bucket_data(clustered, new_version, pre_bucketed=True)
+        # a cell-resolving clustering (patch tables) materialises _cvers
+        # for the first time — evolve the schema like commit_delta does
+        schema_json = (
+            json.dumps(_union_schema(snap.schema, schema).jsonValue())
+            if schema is not None
+            else snap.schema_json
+        )
         for _attempt in range(6):
             delta_files = {
                 k: list(v) for k, v in snap.delta_files.items() if k != "*"
@@ -1096,7 +1118,7 @@ class LakeTable:
             )
             new_snap = Snapshot(
                 version=new_version,
-                schema_json=snap.schema_json,
+                schema_json=schema_json,
                 n_buckets=snap.n_buckets,
                 key_col=snap.key_col,
                 version_col=snap.version_col,

@@ -1329,17 +1329,15 @@ def q_cdc_compacted_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def q_cdc_patch_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial-image (binlog_row_image=MINIMAL) CDC: a deterministic mix of
-    full images, deletes, and **patch** events that each set only a named
-    subset of cells — including explicit-NULL assignments — applied in 4
-    micro-batches through ``merge_patch_into`` (per-cell LWW, persisted
-    ``_cvers``).  The DuckDB oracle recomputes the same state as per-cell
-    ``arg_max`` over ALL events at once: equality proves the engine's
-    resolution is batching-independent (operators/patch.py)."""
+def _patch_fixture(spark: SparkSession, sf_dir: str):
+    """Deterministic partial-image change stream + empty patch table.
+
+    Op mix per event: error→delete; event_id%7<2→full insert; else a
+    patch naming {text if id%2=0} ∪ {lang if id%3=0, NULL value when
+    id%9=0 — an explicit-NULL assignment} ∪ {score always}.  Returns
+    (table, changes-with-_b-batch-column, tmpdir)."""
     from pyspark.sql import types as T
 
-    from aus_land_data_etl_spark.lake.merge import merge_patch_into, read_current
     from aus_land_data_etl_spark.lake.table import LakeTable
 
     ev = _t(spark, sf_dir, "events")
@@ -1390,14 +1388,61 @@ def q_cdc_patch_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     d = tempfile.mkdtemp(prefix="cdc_p_")
+    table = LakeTable.create(
+        spark, d, schema=schema, key_col="url", version_col="warc_ts",
+        n_buckets=8,
+    )
+    return table, changes, d
+
+
+def q_cdc_patch_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-image (binlog_row_image=MINIMAL) CDC: a deterministic mix of
+    full images, deletes, and **patch** events that each set only a named
+    subset of cells — including explicit-NULL assignments — applied in 4
+    micro-batches through ``merge_patch_into`` (per-cell LWW, persisted
+    ``_cvers``).  The DuckDB oracle recomputes the same state as per-cell
+    ``arg_max`` over ALL events at once: equality proves the engine's
+    resolution is batching-independent (operators/patch.py)."""
+    from aus_land_data_etl_spark.lake.merge import merge_patch_into, read_current
+
+    table, changes, d = _patch_fixture(spark, sf_dir)
     try:
-        table = LakeTable.create(
-            spark, d, schema=schema, key_col="url", version_col="warc_ts",
-            n_buckets=8,
-        )
         for i in range(4):
             batch = changes.filter(F.col("_b") == i).drop("_b")
             merge_patch_into(table, batch, "event_id", epoch_id=str(i))
+        out = read_current(table, tiebreak_col="event_id").select(
+            "url",
+            "warc_ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            "text",
+            "lang",
+            F.round(F.col("score"), 2).alias("score"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_cdc_patch_mor_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same partial-image stream through the MERGE-ON-READ path:
+    O(batch) fanout delta appends (base never rewritten per epoch), a
+    leveled fold mid-stream, resolution off mixed base+delta stacks.
+    Shares ORACLE_CDC_PATCH — per-cell LWW is associative, so CoW and MoR
+    must land byte-identical states."""
+    from aus_land_data_etl_spark.lake.merge import (
+        delta_merge_patch_into,
+        fold_deltas,
+        read_current,
+    )
+
+    table, changes, d = _patch_fixture(spark, sf_dir)
+    try:
+        for i in range(4):
+            batch = changes.filter(F.col("_b") == i).drop("_b")
+            delta_merge_patch_into(
+                table, batch, "event_id", epoch_id=str(i), compact_depth=3
+            )
+        fold_deltas(table, "event_id")
         out = read_current(table, tiebreak_col="event_id").select(
             "url",
             "warc_ts",
@@ -2216,6 +2261,7 @@ QUERIES: dict[str, QueryFn] = {
     "lineage_audit": q_lineage_audit,
     "cdc_rebucket_converge": q_cdc_rebucket_converge,
     "cdc_patch_converge": q_cdc_patch_converge,
+    "cdc_patch_mor_converge": q_cdc_patch_mor_converge,
     "changelog_subscribe_reconstruct": q_changelog_subscribe_reconstruct,
 }
 
@@ -2268,6 +2314,7 @@ ORACLES: dict[str, str] = {
     "lineage_audit": ORACLE_LINEAGE_AUDIT,
     "cdc_rebucket_converge": ORACLE_CDC_CONVERGE,
     "cdc_patch_converge": ORACLE_CDC_PATCH,
+    "cdc_patch_mor_converge": ORACLE_CDC_PATCH,
     "changelog_subscribe_reconstruct": ORACLE_CDC_CONVERGE,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above

@@ -326,3 +326,115 @@ def test_resolve_cells_is_reapplicable(spark):
         for r in rows
     }
     assert as_dict(once) == as_dict(again)
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read patch path (delta_merge_patch_into)
+# ---------------------------------------------------------------------------
+
+MOR_ROWS = [
+    ("a", 10, "e01", "insert", "t0", "en", 1.0, None),
+    ("a", 50, "e05", "patch", None, None, 5.0, ["score"]),
+    ("a", 30, "e03", "patch", "t3", None, None, ["text"]),
+    ("a", 40, "e04", "patch", None, "fr", None, ["lang"]),
+    ("b", 15, "e11", "insert", "b0", "en", 0.0, None),
+    ("b", 25, "e12", "delete", None, None, None, None),
+    ("b", 35, "e13", "patch", None, None, 9.0, ["score"]),
+    ("c", 12, "e21", "insert", "c0", None, 3.0, None),
+    ("c", 11, "e22", "patch", None, "it", None, ["lang"]),
+]
+MOR_WANT = {
+    "a": ("t3", "fr", 5.0, TS(50)),
+    "b": (None, None, 9.0, TS(35)),
+    "c": ("c0", None, 3.0, TS(12)),
+}
+
+
+@pytest.mark.parametrize("fanout", [True, False])
+def test_mor_patch_apply_matches_cow(spark, tmp_table_dir, fanout):
+    """O(batch) delta appends of partial images resolve to the same state
+    as the copy-on-write path, read straight off the unfolded stacks."""
+    from aus_land_data_etl_spark.lake.merge import delta_merge_patch_into
+
+    t = _mk_table(spark, tmp_table_dir)
+    for i in range(3):
+        batch = [r for j, r in enumerate(MOR_ROWS) if j % 3 == i]
+        delta_merge_patch_into(
+            t, _events(spark, batch), "event_id", epoch_id=str(i),
+            fanout=fanout, compact_depth=99,
+        )
+    assert t.snapshot().delta_files  # really is merge-on-read
+    assert _state(t) == MOR_WANT
+
+
+def test_mor_patch_fold_preserves_cell_versions(spark, tmp_table_dir):
+    """Folding delta stacks to base must keep per-cell versions: a late
+    out-of-order patch arriving AFTER the fold still wins only the cell
+    it is newest for."""
+    from aus_land_data_etl_spark.lake.merge import (
+        delta_merge_patch_into,
+        fold_deltas,
+    )
+
+    t = _mk_table(spark, tmp_table_dir)
+    delta_merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "base", "en", 1.0, None),
+                ("a", 40, "e4", "patch", None, "de", None, ["lang"]),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+        compact_depth=99,
+    )
+    fold_deltas(t, "event_id")
+    assert not t.snapshot().delta_files  # folded to base
+    # late text patch (ts=20): older than the folded row version (40) but
+    # newer than text's cell version (10) — must win text only
+    delta_merge_patch_into(
+        t,
+        _events(spark, [("a", 20, "e2", "patch", "late", None, None, ["text"])]),
+        "event_id",
+        epoch_id="1",
+        compact_depth=99,
+    )
+    assert _state(t)["a"] == ("late", "de", 1.0, TS(40))
+
+
+def test_mor_patch_auto_fold_converges(spark, tmp_table_dir):
+    """Hitting compact_depth mid-stream triggers the leveled fold; the
+    resolved state is unchanged (associativity through the fold)."""
+    from aus_land_data_etl_spark.lake.merge import delta_merge_patch_into
+
+    t = _mk_table(spark, tmp_table_dir)
+    for i in range(3):
+        batch = [r for j, r in enumerate(MOR_ROWS) if j % 3 == i]
+        delta_merge_patch_into(
+            t, _events(spark, batch), "event_id", epoch_id=str(i),
+            compact_depth=2,
+        )
+    assert _state(t) == MOR_WANT
+
+
+def test_delete_where_routes_to_patch_path(spark, tmp_table_dir):
+    from aus_land_data_etl_spark.lake.merge import delete_where, merge_patch_into
+
+    t = _mk_table(spark, tmp_table_dir)
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "keep", "en", 1.0, None),
+                ("b", 10, "e2", "insert", "drop-me", "de", 2.0, None),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+    )
+    delete_where(t, F.col("text") == "drop-me", as_of=TS(99), op_id="gdpr-1")
+    st = _state(t)
+    assert "b" not in st and st["a"][0] == "keep"
