@@ -52,6 +52,9 @@ HEADLINE_QUERIES = [
     "lake_changelog",
     "incr_agg_view",
     "j7_asof_attribution",
+    # partial-image CDC through the merge-on-read path (O(batch) fanout
+    # deltas + mid-stream fold + per-cell resolution off mixed stacks)
+    "cdc_patch_mor_converge",
 ]
 
 
