@@ -116,34 +116,80 @@ def create_pages_table(
     )
 
 
-def manifest_frame(batch: DataFrame, n_buckets: int | None = None) -> DataFrame:
+def manifest_frame(
+    batch: DataFrame, n_buckets: int | None = None, runs: bool = False
+) -> DataFrame:
     """The (lazy) per-source-partition lineage aggregation — exposed
     separately so plan-evidence tooling can assert the extraction UDF is
-    pruned out of this job (it reads envelope columns only)."""
+    pruned out of this job (it reads envelope columns only).
+
+    ``runs=True`` emits one row per **maximal dense offset run** per
+    namespace (gaps-and-islands over the distinct offsets) instead of one
+    min/max row per namespace.  Streaming callers need this: a file
+    source groups WAL chunks by modification time, so one micro-batch can
+    legally contain two non-adjacent chunks of the same namespace — a
+    min/max manifest then fails the watermark's density proof and the
+    offsets stay unwatermarked forever, while per-run rows park as
+    pending ranges and fold in when the gap closes.  Watermark advance
+    becomes independent of micro-batch file grouping.  Batch-mode
+    lineage keeps the coarser one-row-per-namespace form (the audit
+    oracle's granularity).
+    """
     from aus_land_data_etl_spark.lake.table import bucket_expr
 
+    row_hash = F.xxhash64("url", F.col("warc_ts").cast("string"), "op")
+    hex_of = lambda c: F.conv(c.cast("string"), 10, 16)  # noqa: E731
+    if not runs:
+        aggs = [
+            F.min("source_offset").alias("start_offset"),
+            F.max("source_offset").alias("end_offset"),
+            F.count("*").alias("row_count"),
+            # density evidence for the offset watermark: at-least-once
+            # transport duplicates inflate row_count, so contiguity is
+            # proven on the distinct-offset count instead
+            F.countDistinct("source_offset").alias("distinct_offsets"),
+            hex_of(F.bit_xor(row_hash)).alias("checksum"),
+        ]
+        if n_buckets is not None:
+            aggs.append(
+                F.collect_set(bucket_expr("url", n_buckets)).alias("buckets")
+            )
+        # The offset namespace is the COMPOSITE (source_file,
+        # source_partition): a late/backfill segment arrives as a different
+        # file whose offsets restart and must not alias the main shard's
+        # applied prefix.
+        return batch.groupBy("source_partition", "source_file").agg(*aggs)
+
+    from pyspark.sql import Window
+
+    ns = ["source_partition", "source_file"]
+    per_off_aggs = [
+        F.count("*").alias("n_rows"),
+        F.bit_xor(row_hash).alias("h"),  # xor is associative: runs re-fold
+    ]
+    if n_buckets is not None:
+        per_off_aggs.append(
+            F.collect_set(bucket_expr("url", n_buckets)).alias("bs")
+        )
+    per_off = batch.groupBy(*ns, "source_offset").agg(*per_off_aggs)
+    rn = F.row_number().over(Window.partitionBy(*ns).orderBy("source_offset"))
+    runs_df = per_off.withColumn("_run", F.col("source_offset") - rn)
     aggs = [
         F.min("source_offset").alias("start_offset"),
         F.max("source_offset").alias("end_offset"),
-        F.count("*").alias("row_count"),
-        # density evidence for the offset watermark: at-least-once transport
-        # duplicates inflate row_count, so contiguity is proven on the
-        # distinct-offset count instead
-        F.countDistinct("source_offset").alias("distinct_offsets"),
-        F.expr(
-            "conv(cast(bit_xor(xxhash64(url, cast(warc_ts as string), op)) as string), 10, 16)"
-        ).alias("checksum"),
+        F.sum("n_rows").alias("row_count"),
+        F.count("*").alias("distinct_offsets"),  # dense by construction
+        hex_of(F.bit_xor("h")).alias("checksum"),
     ]
     if n_buckets is not None:
-        aggs.append(F.collect_set(bucket_expr("url", n_buckets)).alias("buckets"))
-    # The offset namespace is the COMPOSITE (source_file, source_partition):
-    # a late/backfill segment ships as a different file whose offsets restart,
-    # and must not be confused with the main shard's applied prefix.
-    return batch.groupBy("source_partition", "source_file").agg(*aggs)
+        aggs.append(
+            F.array_distinct(F.flatten(F.collect_list("bs"))).alias("buckets")
+        )
+    return runs_df.groupBy(*ns, "_run").agg(*aggs).drop("_run")
 
 
 def compute_manifest(
-    batch: DataFrame, n_buckets: int | None = None
+    batch: DataFrame, n_buckets: int | None = None, runs: bool = False
 ) -> tuple[list[dict[str, Any]], list[int]]:
     """Per-source-partition lineage + the touched-bucket set, in ONE action.
 
@@ -159,7 +205,7 @@ def compute_manifest(
     (``collect_set`` per group, unioned driver-side — bounded by
     n_buckets) so the merge needs no separate probe job.
     """
-    rows = manifest_frame(batch, n_buckets).collect()
+    rows = manifest_frame(batch, n_buckets, runs=runs).collect()
     touched: set[int] = set()
     manifest = []
     for r in rows:
@@ -240,6 +286,7 @@ def apply_batch(
     content_keyed: bool = False,
     wal_offsets: bool = False,
     dead_letter: bool = True,
+    run_manifests: bool = False,
 ) -> int:
     """Apply one micro-batch of raw change events exactly once.
 
@@ -282,7 +329,9 @@ def apply_batch(
     # once, inside the merge write.  (Persisting here would force a full
     # materialisation including extraction — strictly worse.)
     batch = prepare_batch(events, registry)
-    manifest, touched = compute_manifest(batch, n_buckets=snap.n_buckets)
+    manifest, touched = compute_manifest(
+        batch, n_buckets=snap.n_buckets, runs=run_manifests
+    )
     content_key = content_epoch_key(manifest)
     epoch_ids = [content_key] if content_keyed else [epoch_id, content_key]
     # Watermark-based skip (for replays older than the recent-epoch window)
@@ -318,6 +367,125 @@ def apply_batch(
         epoch_id=epoch_ids,
         manifest_rows=manifest,
         n_salts=n_salts,
+        touched=touched,
+        wal_offsets=wal_offsets,
+    )
+
+
+def prepare_patch_batch(events: DataFrame) -> DataFrame:
+    """PATCH_EVENT_SCHEMA rows → cell-merge-ready rows.
+
+    The ``text`` cell is DERIVED: it is determined exactly when ``html``
+    is (full image, or a patch naming ``html``), and its value is the
+    extraction of the shipped bytes — so the per-cell LWW winner for
+    ``text`` always corresponds to the winner for ``html`` and the
+    byte-identical text-per-url invariant holds cell-wise.  Provenance
+    cells (``source_file``/``source_pos``) are determined by every event:
+    row provenance means "the newest event touching this row".  Patches
+    never derive ``lang`` from text (a patch determines only what it
+    names); full images keep the heuristic fallback.
+    """
+    is_patch = F.col("op") == "patch"
+    # a malformed patch with NULL set_cols must not silently become a
+    # full image (it would null every unnamed cell): empty set instead
+    named = F.coalesce(F.col("set_cols"), F.array().cast("array<string>"))
+    html_set = ~is_patch | F.array_contains(named, "html")
+    text = F.when((F.col("op") != "delete") & html_set, extract_text_udf(F.col("html")))
+    lang = F.when(
+        F.col("op") == "delete", F.lit(None).cast("string")
+    ).otherwise(
+        F.when(is_patch, F.col("lang")).otherwise(
+            F.coalesce(F.col("lang"), lang_id(text))
+        )
+    )
+    # html implies the derived text cell; provenance cells always
+    sets = F.when(
+        is_patch,
+        F.array_union(
+            F.when(
+                F.array_contains(named, "html"),
+                F.array_union(named, F.array(F.lit("text"))),
+            ).otherwise(named),
+            F.array(F.lit("source_file"), F.lit("source_pos")),
+        ),
+    )
+    return events.select(
+        "event_id",
+        "op",
+        "url",
+        "warc_ts",
+        sets.alias("_set_cols"),
+        "html",
+        text.alias("text"),
+        lang.alias("lang"),
+        "source_partition",
+        "source_offset",
+        "source_file",
+        "source_pos",
+    )
+
+
+def apply_patch_batch(
+    table: LakeTable,
+    events: DataFrame,
+    epoch: int | str,
+    mode: str = "mor",
+    compact_depth: int = 8,
+    content_keyed: bool = False,
+    wal_offsets: bool = False,
+    run_manifests: bool = False,
+) -> int:
+    """Apply one micro-batch of partial-image change events exactly once.
+
+    The patch counterpart of :func:`apply_batch`: same lineage manifests
+    (offset ranges, row counts, order-insensitive checksums per source
+    partition), same content-addressed exactly-once keys and offset
+    watermarks, same MoR (O(batch) fanout deltas) / CoW (bucket-pruned
+    rewrite) modes — but rows resolve per-cell (operators/patch.py), so
+    an update that flips one column on a multi-MB page appends bytes
+    proportional to the patch.
+    """
+    from aus_land_data_etl_spark.lake.merge import (
+        delta_merge_patch_into,
+        merge_patch_into,
+    )
+
+    epoch_id = str(epoch)
+    snap = table.snapshot()
+    if not content_keyed and snap.is_applied(epoch_id):
+        return snap.version
+    batch = prepare_patch_batch(events)
+    manifest, touched = compute_manifest(
+        batch, n_buckets=snap.n_buckets, runs=run_manifests
+    )
+    content_key = content_epoch_key(manifest)
+    epoch_ids = [content_key] if content_keyed else [epoch_id, content_key]
+    if snap.is_applied(epoch_ids, manifest if wal_offsets else None):
+        return snap.version
+    epoch_num = int(epoch) if str(epoch).lstrip("-").isdigit() else -1
+    for m in manifest:
+        m["epoch"] = epoch_num
+    payload = batch.drop("source_partition", "source_offset")
+    total_rows = sum(m["row_count"] for m in manifest)
+    target = max(1, -(-total_rows // ROWS_PER_WRITE_TASK))
+    if target < payload.rdd.getNumPartitions():
+        payload = payload.coalesce(target)
+    if mode == "mor":
+        return delta_merge_patch_into(
+            table,
+            payload,
+            tiebreak_col="event_id",
+            epoch_id=epoch_ids,
+            manifest_rows=manifest,
+            compact_depth=compact_depth,
+            wal_offsets=wal_offsets,
+        )
+    return merge_patch_into(
+        table,
+        payload,
+        tiebreak_col="event_id",
+        epoch_id=epoch_ids,
+        manifest_rows=manifest,
         touched=touched,
         wal_offsets=wal_offsets,
     )

@@ -46,6 +46,27 @@ PAGES_SCHEMA = T.StructType(
     ]
 )
 
+#: Partial-image change envelope (binlog_row_image=MINIMAL shipper): a
+#: ``patch`` op names the cells it determines in ``set_cols``; shipping
+#: ``html`` implies the derived ``text`` cell (extraction re-runs on the
+#: patched bytes, preserving the byte-identical text-per-url invariant).
+#: Full images / deletes carry ``set_cols`` NULL (determine everything).
+PATCH_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),  # insert|update|delete|patch
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),  # LWW version
+        T.StructField("set_cols", T.ArrayType(T.StringType()), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source_partition", T.IntegerType(), False),
+        T.StructField("source_offset", T.LongType(), False),
+        T.StructField("source_file", T.StringType(), False),
+        T.StructField("source_pos", T.LongType(), False),
+    ]
+)
+
 #: JSON fields that may appear in payload_extra, by schema version.
 PAYLOAD_EXTRA_SCHEMA = T.StructType(
     [

@@ -1456,6 +1456,129 @@ def q_cdc_patch_mor_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def patch_events_as_wal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table → deterministic PATCH_EVENT_SCHEMA change stream.
+
+    Same op mix as ``_patch_fixture`` but shipped the way a binlog
+    shipper would: content as html BYTES (patches naming ``html`` imply
+    re-extraction of the derived ``text`` cell), explicit-NULL lang
+    patches, and patches naming NOTHING (id%2≠0 ∧ id%3≠0 → empty set:
+    provenance-only events that bump the row version without touching a
+    payload cell)."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    is_del = F.col("event_type") == "error"
+    is_full = ~is_del & (F.pmod(eid, F.lit(7)) < 2)
+    sets_html = F.pmod(eid, F.lit(2)) == 0
+    sets_lang = F.pmod(eid, F.lit(3)) == 0
+    body = F.when(
+        is_full,
+        F.concat(F.col("event_type"), F.lit(" value="), F.col("value").cast("string")),
+    ).when(sets_html, F.concat(F.lit("patched:"), F.col("value").cast("string")))
+    html = F.when(
+        ~is_del & (is_full | sets_html),
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), body, F.lit("</p></body></html>")),
+            "UTF-8",
+        ),
+    )
+    p_lang = F.when(
+        F.pmod(eid, F.lit(9)) == 0, F.lit(None).cast("string")
+    ).otherwise(F.concat(F.lit("p"), F.pmod(eid, F.lit(5)).cast("string")))
+    full_lang = F.concat(F.lit("l"), F.pmod(F.col("user_id"), F.lit(3)).cast("string"))
+    empty = F.array().cast("array<string>")
+    patch_sets = F.concat(
+        F.when(sets_html, F.array(F.lit("html"))).otherwise(empty),
+        F.when(sets_lang, F.array(F.lit("lang"))).otherwise(empty),
+    )
+    return ev.select(
+        eid.cast("string").alias("event_id"),
+        F.when(is_del, "delete").when(is_full, "insert").otherwise("patch").alias("op"),
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(~is_del & ~is_full, patch_sets).alias("set_cols"),
+        html.alias("html"),
+        F.when(is_full, full_lang).when(~is_del & sets_lang, p_lang).alias("lang"),
+        # per-partition DENSE monotone offsets (the binlog shipper contract
+        # the offset watermarks need): partition = id mod 4, offset = id
+        # div 4 — a contiguous WAL chunk is dense in every namespace
+        F.pmod(eid, F.lit(4)).cast("int").alias("source_partition"),
+        (eid / 4).cast("long").alias("source_offset"),
+        F.lit("events.parquet").alias("source_file"),
+        eid.cast("long").alias("source_pos"),
+    )
+
+
+def q_cdc_patch_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partial-image stream through the Structured Streaming shell:
+    checkpointed WAL file source → ``apply_patch_batch`` per micro-batch
+    (content-addressed exactly-once, offset watermarks, O(patch) MoR
+    appends) — patches naming ``html`` re-extract the derived ``text``
+    cell, so the byte-identical invariant holds per cell."""
+    from aus_land_data_etl_spark.cdc.apply import create_pages_table
+    from aus_land_data_etl_spark.lake.merge import read_current
+    from aus_land_data_etl_spark.streaming.runner import (
+        run_patch_stream,
+        write_event_log,
+    )
+
+    changes = patch_events_as_wal(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_ps_")
+    try:
+        wal, ckpt, tbl = (os.path.join(root, k) for k in ("wal", "ckpt", "tbl"))
+        write_event_log(changes, wal, n_files=4)
+        table = create_pages_table(spark, tbl, n_buckets=8)
+        run_patch_stream(spark, table, wal, ckpt, max_files_per_trigger=2)
+        out = read_current(table).select(
+            "url",
+            "warc_ts",
+            F.col("event_id").cast("long").alias("event_id"),
+            "text",
+            "lang",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# The stream fixture's oracle: per-cell arg_max over ALL events (no
+# batching) — text determined by full images, deletes and html-naming
+# patches (extraction recovers the inner body string byte-identically);
+# lang by full images, deletes and lang-naming patches; provenance-only
+# patches (empty set) still advance the row version.
+ORACLE_CDC_PATCH_STREAM = """
+WITH ev AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+         ts, event_id,
+         event_type = 'error' AS is_del,
+         event_type <> 'error' AND (event_id % 7) < 2 AS is_full,
+         printf('%020d|%020d', CAST(epoch_us(ts) AS BIGINT), event_id) AS vkey,
+         event_type || ' value=' || CAST(value AS VARCHAR) AS full_text,
+         'l' || CAST(user_id % 3 AS VARCHAR) AS full_lang,
+         'patched:' || CAST(value AS VARCHAR) AS p_text,
+         CASE WHEN event_id % 9 = 0 THEN NULL
+              ELSE 'p' || CAST(event_id % 5 AS VARCHAR) END AS p_lang,
+         (event_id % 2) = 0 AS sets_html,
+         (event_id % 3) = 0 AS sets_lang
+  FROM events
+)
+SELECT url,
+       arg_max(ts, vkey) AS warc_ts,
+       arg_max(event_id, vkey) AS event_id,
+       (arg_max({'v': CASE WHEN is_del THEN NULL
+                           WHEN is_full THEN full_text
+                           ELSE p_text END}, vkey)
+          FILTER (WHERE is_del OR is_full OR sets_html)).v AS text,
+       (arg_max({'v': CASE WHEN is_del THEN NULL
+                           WHEN is_full THEN full_lang
+                           ELSE p_lang END}, vkey)
+          FILTER (WHERE is_del OR is_full OR sets_lang)).v AS lang
+FROM ev
+GROUP BY url
+HAVING NOT arg_max(is_del, vkey)
+"""
+
+
 # Per-cell LWW over ALL events at once (no batching): cell value = value
 # from the newest event that DETERMINES the cell (full images and deletes
 # determine everything; patches the named subset).  Values are struct-
@@ -2262,6 +2385,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_rebucket_converge": q_cdc_rebucket_converge,
     "cdc_patch_converge": q_cdc_patch_converge,
     "cdc_patch_mor_converge": q_cdc_patch_mor_converge,
+    "cdc_patch_stream_pipeline": q_cdc_patch_stream_pipeline,
     "changelog_subscribe_reconstruct": q_changelog_subscribe_reconstruct,
 }
 
@@ -2315,6 +2439,7 @@ ORACLES: dict[str, str] = {
     "cdc_rebucket_converge": ORACLE_CDC_CONVERGE,
     "cdc_patch_converge": ORACLE_CDC_PATCH,
     "cdc_patch_mor_converge": ORACLE_CDC_PATCH,
+    "cdc_patch_stream_pipeline": ORACLE_CDC_PATCH_STREAM,
     "changelog_subscribe_reconstruct": ORACLE_CDC_CONVERGE,
     # minhash_dedup / simhash_candidates / emb_topk_lsh / emb_topk_ivf:
     # approximate — rows-only driver check; exact counterparts above

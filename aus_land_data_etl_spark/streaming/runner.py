@@ -139,6 +139,7 @@ def run_stream(
             n_salts=n_salts,
             content_keyed=True,
             wal_offsets=True,
+            run_manifests=True,
         )
         for v in views or []:
             v.refresh()
@@ -165,6 +166,74 @@ def run_stream(
     else:
         # continuous tail: process whatever has arrived, leave the query
         # running; the caller holds the handle (returned via .query).
+        q = writer.trigger(processingTime="1 second").start()
+        q.processAllAvailable()
+    return StreamResult(
+        batches=counters["batches"],
+        rows=counters["rows"],
+        final_version=table.current_version(),
+        metrics=metrics,
+        query=None if available_now else q,
+    )
+
+
+def run_patch_stream(
+    spark: SparkSession,
+    table: LakeTable,
+    wal_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
+    available_now: bool = True,
+    expire_every: int | None = 16,
+    expire_keep_last: int = 4,
+    vacuum_grace_seconds: float | None = 3600.0,
+) -> StreamResult:
+    """Tail a *partial-image* WAL (``PATCH_EVENT_SCHEMA`` parquet files)
+    into the table — the minimal-row-image counterpart of
+    :func:`run_stream`: same checkpointed file source, same per-epoch
+    telemetry, same content-addressed exactly-once + offset-watermark
+    guards, same maintenance tick; rows resolve per-cell via
+    ``apply_patch_batch`` so each micro-batch appends O(patch) bytes.
+    """
+    from aus_land_data_etl_spark.cdc.apply import apply_patch_batch
+    from aus_land_data_etl_spark.cdc.events import PATCH_EVENT_SCHEMA
+
+    counters = {"batches": 0, "rows": 0}
+    metrics: list[dict] = []
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        counters["batches"] += 1
+        obs = batch_df.agg(*_batch_observations()).collect()[0].asDict()
+        obs["epoch"] = int(epoch_id)
+        obs["min_ts"] = str(obs["min_ts"])
+        obs["max_ts"] = str(obs["max_ts"])
+        metrics.append(obs)
+        counters["rows"] += int(obs["n_events"])
+        apply_patch_batch(
+            table,
+            batch_df,
+            epoch=epoch_id,
+            content_keyed=True,
+            wal_offsets=True,
+            run_manifests=True,
+        )
+        if expire_every and counters["batches"] % expire_every == 0:
+            table.expire_snapshots(keep_last=expire_keep_last)
+            if vacuum_grace_seconds is not None:
+                table.vacuum_orphans(grace_seconds=vacuum_grace_seconds)
+
+    reader = (
+        spark.readStream.schema(PATCH_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(wal_dir)
+    )
+    writer = reader.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
         q = writer.trigger(processingTime="1 second").start()
         q.processAllAvailable()
     return StreamResult(

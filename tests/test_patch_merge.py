@@ -438,3 +438,47 @@ def test_delete_where_routes_to_patch_path(spark, tmp_table_dir):
     delete_where(t, F.col("text") == "drop-me", as_of=TS(99), op_id="gdpr-1")
     st = _state(t)
     assert "b" not in st and st["a"][0] == "keep"
+
+
+def test_changelog_over_patch_table(spark, tmp_table_dir):
+    """CDC-out composes with per-cell CDC-in: the net diff between two
+    patch-table snapshots classifies a cell-only change as an update
+    carrying the fully resolved after-image."""
+    from aus_land_data_etl_spark.lake.changelog import read_changes
+    from aus_land_data_etl_spark.lake.merge import merge_patch_into
+
+    t = _mk_table(spark, tmp_table_dir)
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "t0", "en", 1.0, None),
+                ("b", 10, "e2", "insert", "b0", "de", 2.0, None),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+    )
+    v1 = t.current_version()
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 20, "e3", "patch", None, "fr", None, ["lang"]),
+                ("c", 20, "e4", "insert", "c0", "it", 3.0, None),
+            ],
+        ),
+        "event_id",
+        epoch_id="1",
+    )
+    ch = {
+        r["url"]: (r["change_type"], r["text"], r["lang"])
+        for r in read_changes(t, v1, t.current_version()).collect()
+    }
+    assert ch == {
+        # update image: patched lang + the UNpatched text both present
+        "a": ("update", "t0", "fr"),
+        "c": ("insert", "c0", "it"),
+    }
