@@ -801,6 +801,18 @@ class LakeTable:
         resolved = self.read_resolved(
             version=snap.version, tiebreak_col=tiebreak_col
         )
+        # patch tables: resolution consumes _set_cols and materialises the
+        # _cvers cell-version map — the committed schema must follow, or
+        # the imposed-schema read would silently drop per-cell versions
+        out_schema = _union_schema(snap.schema, resolved.schema)
+        resolved = resolved.select(
+            *[
+                F.col(f.name)
+                if f.name in resolved.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out_schema.fields
+            ]
+        )
         new_version = snap.version + 1
         df = resolved.repartition(n_buckets, F.col(snap.key_col)).withColumn(
             BUCKET_COL, bucket_expr(snap.key_col, n_buckets)
@@ -812,7 +824,7 @@ class LakeTable:
         properties.pop("delta_epochs", None)  # deltas folded by the rewrite
         new_snap = Snapshot(
             version=new_version,
-            schema_json=snap.schema_json,
+            schema_json=json.dumps(out_schema.jsonValue()),
             n_buckets=n_buckets,
             key_col=snap.key_col,
             version_col=snap.version_col,

@@ -482,3 +482,37 @@ def test_changelog_over_patch_table(spark, tmp_table_dir):
         "a": ("update", "t0", "fr"),
         "c": ("insert", "c0", "it"),
     }
+
+
+def test_rebucket_preserves_cell_versions(spark, tmp_table_dir):
+    """Bucket-count evolution on a patch table with UNFOLDED delta stacks
+    must carry the per-cell versions into the new layout: a late
+    out-of-order patch after the rebucket still wins only its cell."""
+    from aus_land_data_etl_spark.lake.merge import delta_merge_patch_into
+
+    t = _mk_table(spark, tmp_table_dir)
+    delta_merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "base", "en", 1.0, None),
+                ("a", 40, "e4", "patch", None, "de", None, ["lang"]),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+        compact_depth=99,
+    )
+    assert t.snapshot().delta_files
+    t.rebucket(8)
+    delta_merge_patch_into(
+        t,
+        _events(spark, [("a", 20, "e2", "patch", "late", None, None, ["text"])]),
+        "event_id",
+        epoch_id="1",
+        compact_depth=99,
+    )
+    # text's cell version was 10 (< 20): the late patch wins text; lang
+    # (cell version 40) and the row version survive the rebucket intact
+    assert _state(t)["a"] == ("late", "de", 1.0, TS(40))
