@@ -621,3 +621,33 @@ def compact(
     if drop_tombstones and DELETED_COL in df.columns:
         df = df.filter(~F.col(DELETED_COL))
     return table.overwrite(df)
+
+
+def seal_patches(
+    table: LakeTable,
+    tiebreak_col: str = "event_id",
+    drop_tombstones: bool = False,
+) -> int:
+    """Convert a per-cell-versioned table back to plain row-LWW: one full
+    rewrite of the resolved view with ``_cvers``/``_set_cols`` dropped.
+
+    The cell-version map costs ~one (name, version, tiebreak) entry per
+    payload column per row — worth carrying while partial images are
+    flowing, dead weight after the patching source drains (e.g. a
+    backfill completes).  Sealing freezes every row as a full image at
+    its row version: exact whenever the upstream delivered per-key in
+    order (the binlog contract), and afterwards an out-of-order patch
+    older than a row's version loses whole-row — the documented
+    approximation every row-LWW table already makes.  Row-merge paths
+    (``merge_into``/``delta_merge_into``) are re-enabled by the schema
+    change itself (the guard keys off the ``_cvers`` column).
+    """
+    from aus_land_data_etl_spark.operators.patch import CELL_VERS, SET_COLS
+
+    df = table.read_resolved(tiebreak_col=tiebreak_col)
+    for c in (CELL_VERS, SET_COLS):
+        if c in df.columns:
+            df = df.drop(c)
+    if drop_tombstones and DELETED_COL in df.columns:
+        df = df.filter(~F.col(DELETED_COL))
+    return table.overwrite(df)

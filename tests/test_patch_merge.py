@@ -516,3 +516,31 @@ def test_rebucket_preserves_cell_versions(spark, tmp_table_dir):
     # text's cell version was 10 (< 20): the late patch wins text; lang
     # (cell version 40) and the row version survive the rebucket intact
     assert _state(t)["a"] == ("late", "de", 1.0, TS(40))
+
+
+def test_seal_patches_reenables_row_merges(spark, tmp_table_dir):
+    from aus_land_data_etl_spark.lake.merge import merge_into, seal_patches
+
+    t = _mk_table(spark, tmp_table_dir)
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "t0", "en", 1.0, None),
+                ("a", 20, "e2", "patch", None, "fr", None, ["lang"]),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+    )
+    seal_patches(t)
+    names = {f.name for f in t.snapshot().schema.fields}
+    assert CELL_VERS not in names and SET_COLS not in names
+    assert _state(t)["a"] == ("t0", "fr", 1.0, TS(20))
+    # row-LWW merges are legal again after sealing
+    full = _events(
+        spark, [("a", 30, "e3", "update", "t3", "de", 3.0, None)]
+    ).drop(SET_COLS)
+    merge_into(t, full, "event_id", epoch_id="1")
+    assert _state(t)["a"] == ("t3", "de", 3.0, TS(30))
