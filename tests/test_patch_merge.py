@@ -544,3 +544,77 @@ def test_seal_patches_reenables_row_merges(spark, tmp_table_dir):
     ).drop(SET_COLS)
     merge_into(t, full, "event_id", epoch_id="1")
     assert _state(t)["a"] == ("t3", "de", 3.0, TS(30))
+
+
+def test_cow_mode_apply_patch_batch_matches_mor(spark, tmp_table_dir):
+    import os
+
+    from aus_land_data_etl_spark.cdc.apply import apply_patch_batch, create_pages_table
+    from aus_land_data_etl_spark.plans.driver_queries import patch_events_as_wal
+
+    changes = patch_events_as_wal(spark, "/root/testdata/sf0.001").localCheckpoint(
+        eager=True
+    )
+    halves = [changes.filter(F.col("source_pos") % 2 == i) for i in (0, 1)]
+    t_cow = create_pages_table(spark, os.path.join(tmp_table_dir, "cow"), n_buckets=8)
+    t_mor = create_pages_table(spark, os.path.join(tmp_table_dir, "mor"), n_buckets=8)
+    for i, h in enumerate(halves):
+        apply_patch_batch(t_cow, h, epoch=i, mode="cow")
+        apply_patch_batch(t_mor, h, epoch=i, mode="mor")
+    as_map = lambda t: {  # noqa: E731
+        r["url"]: (r["text"], r["lang"], r["event_id"])
+        for r in read_current(t).collect()
+    }
+    cow = as_map(t_cow)
+    assert cow == as_map(t_mor) and cow
+
+
+def test_incremental_view_over_patch_table(spark, tmp_table_dir):
+    """The full composition: per-cell CDC-in + changelog preimages +
+    retractable aggregate maintenance.  A lang-count view over a patch
+    table must track cell-only transitions (en→fr moves a key across
+    groups) exactly."""
+    import os
+
+    from aus_land_data_etl_spark.lake.incremental import AggSpec, AggView
+
+    t = _mk_table(spark, tmp_table_dir)
+    view = AggView.create(
+        spark,
+        os.path.join(tmp_table_dir, "view"),
+        source=t,
+        keys=["lang"],
+        aggs=[AggSpec("n", "count")],
+    )
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "t0", "en", 1.0, None),
+                ("b", 10, "e2", "insert", "b0", "en", 2.0, None),
+                ("c", 10, "e3", "insert", "c0", "fr", 3.0, None),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+    )
+    view.refresh()
+    # a cell-only patch moves 'a' from en to fr; a delete removes 'c'
+    merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 20, "e4", "patch", None, "fr", None, ["lang"]),
+                ("c", 20, "e5", "delete", None, None, None, None),
+            ],
+        ),
+        "event_id",
+        epoch_id="1",
+    )
+    view.refresh()
+    got = {
+        r["lang"]: r["n"] for r in view.read().select("lang", "n").collect()
+    }
+    assert got == {"en": 1, "fr": 1}
