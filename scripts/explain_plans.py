@@ -388,6 +388,19 @@ def patch_plan_evidence(spark) -> list[str]:
             )
         )
 
+    from aus_land_data_etl_spark.cdc.apply import manifest_frame, prepare_patch_batch
+    from aus_land_data_etl_spark.plans.driver_queries import patch_events_as_wal
+
+    # manifest job over the PATCH stream (prepare_patch_batch includes the
+    # extraction UDF): envelope-only aggregation must prune it out
+    man_plan = formatted_plan(
+        manifest_frame(
+            prepare_patch_batch(patch_events_as_wal(spark, "/root/testdata/sf0.001")),
+            8,
+            runs=True,
+        )
+    )
+
     table, changes, d = _patch_fixture(spark, "/root/testdata/sf0.001")
     try:
         snap = table.snapshot()
@@ -412,6 +425,9 @@ def patch_plan_evidence(spark) -> list[str]:
 
         _sh.rmtree(d, ignore_errors=True)
     n_partial = len(re.findall(r"partial_max_by", plan))
+    assert _py_udf_nodes(man_plan) == 0, (
+        "patch manifest job must prune the extraction UDF"
+    )
     assert _py_udf_nodes(plan) == 0, "per-cell resolution must be pure JVM"
     assert dm["shuffle_exchanges"] == 1, (
         f"patch merge path has {dm['shuffle_exchanges']} exchanges, want 1"
@@ -420,6 +436,9 @@ def patch_plan_evidence(spark) -> list[str]:
     assert df_fan["shuffle_exchanges"] == 0, "patch fanout write must not shuffle"
     return [
         "\n## partial-image patch CDC (per-cell LWW)\n",
+        f"- run-length manifest job python-UDF nodes: "
+        f"**{_py_udf_nodes(man_plan)}** (extraction pruned out of the "
+        "envelope-only gaps-and-islands aggregation; asserted = 0)\n",
         f"- cell-resolution python-UDF nodes: **{_py_udf_nodes(plan)}** "
         "(asserted = 0 — max_by/max aggregate pairs per cell, map "
         "construction all Catalyst expressions)\n",
