@@ -500,11 +500,19 @@ def fold_deltas(table: LakeTable, tiebreak_col: str, min_stack: int = 1) -> int:
     )
 
 
-def read_current(table: LakeTable, tiebreak_col: str = "event_id") -> DataFrame:
-    """The live view: LWW-resolved (merge-on-read) minus tombstones."""
+def read_current(
+    table: LakeTable,
+    tiebreak_col: str = "event_id",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """The live view: LWW-resolved (merge-on-read) minus tombstones.
+
+    ``columns`` projects payload cells BELOW the resolution (see
+    ``LakeTable.read_resolved``): a lang-only consumer never shuffles
+    the html blobs."""
     from aus_land_data_etl_spark.operators.patch import CELL_VERS, SET_COLS
 
-    df = table.read_resolved(tiebreak_col=tiebreak_col)
+    df = table.read_resolved(tiebreak_col=tiebreak_col, columns=columns)
     if DELETED_COL in df.columns:
         df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
     for internal in (CELL_VERS, SET_COLS):

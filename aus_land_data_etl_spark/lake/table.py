@@ -575,6 +575,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         tiebreak_col: str = "event_id",
         predicates: list[tuple] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """LWW-resolved view over base ∪ deltas (merge-on-read).
 
@@ -587,6 +588,15 @@ class LakeTable:
         as long as the caller still applies the row-level filter.  With
         deltas present the predicates are ignored (correctness over
         speed); fold first for pruned reads.
+
+        ``columns`` — payload projection pushed BELOW the resolution:
+        only the named payload cells are resolved and shuffled (key /
+        version / tiebreak / tombstone / cell-version bookkeeping always
+        ride along).  Resolution is per key (row-LWW) or per cell
+        (patch tables), so projecting before it is exact — the winner of
+        a cell does not depend on other cells' values.  This is what
+        keeps a lang-only scan from shuffling multi-MB html blobs, and
+        it reaches the parquet reader as ReadSchema pruning.
         """
         from aus_land_data_etl_spark.operators.dedup import lww_latest
         from aus_land_data_etl_spark.operators.patch import (
@@ -596,14 +606,27 @@ class LakeTable:
         )
 
         snap = self.snapshot(version)
+        names = {f.name for f in snap.schema.fields}
+
+        def project(df: DataFrame) -> DataFrame:
+            if columns is None:
+                return df
+            keep = [snap.key_col, snap.version_col, tiebreak_col]
+            keep += [c for c in ("is_deleted", SET_COLS, CELL_VERS) if c in df.columns]
+            keep += [c for c in columns if c in df.columns and c not in keep]
+            return df.select(*keep)
+
         if not snap.delta_files:
             # base is already one-row-per-key
-            return self.read(
-                version=version, buckets=buckets, include_deltas=False,
-                predicates=predicates,
+            return project(
+                self.read(
+                    version=version, buckets=buckets, include_deltas=False,
+                    predicates=predicates,
+                )
             )
-        raw = self.read(version=version, buckets=buckets, include_deltas=True)
-        names = {f.name for f in snap.schema.fields}
+        raw = project(
+            self.read(version=version, buckets=buckets, include_deltas=True)
+        )
         if SET_COLS in names or CELL_VERS in names:
             # partial-image table: row-level LWW would let a whole-row
             # winner erase cells an older patch still owns — resolve
@@ -637,6 +660,7 @@ class LakeTable:
         key: Any,
         version: int | None = None,
         tiebreak_col: str = "event_id",
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Point lookup: the current LWW row for one key (tombstone kept).
 
@@ -652,7 +676,8 @@ class LakeTable:
         snap = self.snapshot(version)
         b = self.key_bucket(key, version)
         return self.read_resolved(
-            version=version, buckets=[b], tiebreak_col=tiebreak_col
+            version=version, buckets=[b], tiebreak_col=tiebreak_col,
+            columns=columns,
         ).filter(F.col(snap.key_col) == F.lit(key))
 
     # -- write -------------------------------------------------------------

@@ -618,3 +618,47 @@ def test_incremental_view_over_patch_table(spark, tmp_table_dir):
         r["lang"]: r["n"] for r in view.read().select("lang", "n").collect()
     }
     assert got == {"en": 1, "fr": 1}
+
+
+def test_projection_pushdown_below_resolution(spark, tmp_table_dir):
+    """read_resolved(columns=...) resolves only the named cells: values
+    match the full read, and the pruned column never reaches the scan
+    (ReadSchema excludes it) on BOTH the patch and row-LWW paths."""
+    import io
+    from contextlib import redirect_stdout
+
+    from aus_land_data_etl_spark.lake.merge import delta_merge_patch_into
+
+    t = _mk_table(spark, tmp_table_dir)
+    delta_merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "big-text", "en", 1.0, None),
+                ("a", 20, "e2", "patch", None, "fr", None, ["lang"]),
+                ("b", 10, "e3", "insert", "other", "de", 2.0, None),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+        compact_depth=99,
+    )
+    assert t.snapshot().delta_files  # exercising the resolving path
+    slim = t.read_resolved(columns=["lang"])
+    assert "text" not in slim.columns
+    got = {
+        r["url"]: r["lang"]
+        for r in slim.filter(~F.col("is_deleted")).collect()
+    }
+    assert got == {"a": "fr", "b": "de"}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        slim.explain("formatted")
+    plan = buf.getvalue()
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line, line
+    # point lookup rides the same projection
+    row = t.lookup("a", columns=["lang"]).collect()[0]
+    assert row["lang"] == "fr" and "text" not in row.asDict()
