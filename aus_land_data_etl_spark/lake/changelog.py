@@ -146,13 +146,16 @@ def read_changes(
     before image deliberately carries the version of the row it removed.
     """
     from aus_land_data_etl_spark.lake.merge import DELETED_COL, OP_COL
+    from aus_land_data_etl_spark.operators.patch import CELL_VERS, SET_COLS
 
     snap_to: Snapshot = table.snapshot(to_version)
     key, ver = snap_to.key_col, snap_to.version_col
     payload = [
         f.name
         for f in snap_to.schema.fields
-        if f.name not in (DELETED_COL, OP_COL)
+        # engine bookkeeping stays internal: change rows are resolved
+        # images, consumers never need the cell-version maps
+        if f.name not in (DELETED_COL, OP_COL, CELL_VERS, SET_COLS)
     ]
     if from_version == to_version:
         empty = table.read(version=to_version, buckets=[])
@@ -288,23 +291,30 @@ class ChangelogSubscription:
             json.dump({"version": version, "table": self.table.root}, f)
         os.replace(tmp, self.cursor_path)
 
-    def poll(self) -> tuple[DataFrame, int] | None:
+    def poll(self, materialize: bool = False) -> tuple[DataFrame, int] | None:
         """Net changes from the acked cursor to the current snapshot, plus
         the version to ``ack`` after the sink succeeds.  ``None`` when
-        there is nothing new."""
+        there is nothing new.
+
+        The returned frame is lazy: a maintenance job (``fold_deltas``,
+        ``expire_snapshots``, ``vacuum_orphans``) running between poll
+        and consumption can remove the files it reads.  Pass
+        ``materialize=True`` to pin the rows (eager localCheckpoint)
+        when the producer runs maintenance concurrently; leave lazy when
+        the consumer drains promptly (cheaper for wide change sets)."""
         current = self.table.current_version()
         frm = self.position
         if frm is None:  # origin bootstrap: full live view as inserts
             from aus_land_data_etl_spark.lake.merge import read_current
 
             live = read_current(self.table, tiebreak_col=self.tiebreak_col)
-            return (
-                live.select(  # CDF bootstrap rows are plain inserts
-                    F.lit("insert").alias(CHANGE_TYPE_COL),
-                    *[F.col(c) for c in live.columns],
-                ),
-                current,
+            boot = live.select(  # CDF bootstrap rows are plain inserts
+                F.lit("insert").alias(CHANGE_TYPE_COL),
+                *[F.col(c) for c in live.columns],
             )
+            if materialize:
+                boot = boot.localCheckpoint(eager=True)
+            return boot, current
         if frm >= current:
             return None
         try:
@@ -320,6 +330,8 @@ class ChangelogSubscription:
                 f"cursor at version {frm} is older than the retained "
                 f"snapshot window; re-bootstrap with start_at='origin'"
             ) from e
+        if materialize:
+            df = df.localCheckpoint(eager=True)
         return df, current
 
     def ack(self, version: int) -> None:
