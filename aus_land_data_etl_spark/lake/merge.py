@@ -226,14 +226,48 @@ def merge_patch_into(
     )
 
 
+#: Safe widening chains (Spark 4's parquet reader can read the narrower
+#: physical type under the wider imposed schema, pinned by
+#: tests/test_maintenance.py::test_widened_int_files_read_as_long —
+#: the REVERSE read is a hard PARQUET_COLUMN_DATA_TYPE_MISMATCH error).
+_WIDENING_RANKS = (
+    {"byte": 0, "short": 1, "integer": 2, "long": 3},
+    {"float": 0, "double": 1},
+)
+
+
+def _widened(cur, new):
+    """The wider of two types within a numeric family; otherwise ``cur``
+    (non-numeric or cross-family conflicts keep the table's type — the
+    aligned write casts the batch into it)."""
+    a, b = cur.typeName(), new.typeName()
+    for rank in _WIDENING_RANKS:
+        if a in rank and b in rank:
+            return cur if rank[a] >= rank[b] else new
+    return cur
+
+
 def _superset_schema(table: LakeTable, batch: DataFrame):
     """Current table schema ∪ batch columns (schema evolution: added
-    columns appended as nullable; existing columns keep their type)."""
+    columns appended as nullable; a same-named numeric column widens to
+    the batch's type when the batch's is wider — int→long, float→double —
+    the ALTER COLUMN TYPE analog the input_hint's "type widening"
+    contract names.  Widening must happen HERE, not just in the commit's
+    schema union: the delta write lands the batch's physical type, and a
+    snapshot still declaring the narrow type would make every subsequent
+    read fail with PARQUET_COLUMN_DATA_TYPE_MISMATCH."""
     from pyspark.sql import types as T
 
     snap = table.snapshot()
+    batch_types = {f.name: f.dataType for f in batch.schema.fields}
+    fields = []
+    for f in snap.schema.fields:
+        bt = batch_types.get(f.name)
+        if bt is None or bt == f.dataType:
+            fields.append(f)
+        else:
+            fields.append(T.StructField(f.name, _widened(f.dataType, bt), True))
     existing = {f.name for f in snap.schema.fields}
-    fields = list(snap.schema.fields)
     for f in batch.schema.fields:
         if f.name not in existing:
             fields.append(T.StructField(f.name, f.dataType, True))
@@ -292,7 +326,9 @@ def delta_merge_into(
     # align column order/set with the superset schema (missing → NULL)
     aligned = src.select(
         *[
-            F.col(f.name)
+            # cast: a narrower batch column upcasts into a widened table
+            # type so the written file always matches the snapshot schema
+            F.col(f.name).cast(f.dataType).alias(f.name)
             if f.name in src.columns
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in schema.fields
@@ -377,7 +413,9 @@ def delta_merge_patch_into(
     schema = _superset_schema(table, src)
     aligned = src.select(
         *[
-            F.col(f.name)
+            # cast: a narrower batch column upcasts into a widened table
+            # type so the written file always matches the snapshot schema
+            F.col(f.name).cast(f.dataType).alias(f.name)
             if f.name in src.columns
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in schema.fields

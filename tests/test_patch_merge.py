@@ -662,3 +662,62 @@ def test_projection_pushdown_below_resolution(spark, tmp_table_dir):
     # point lookup rides the same projection
     row = t.lookup("a", columns=["lang"]).collect()[0]
     assert row["lang"] == "fr" and "text" not in row.asDict()
+
+
+def test_type_widening_through_delta_paths(spark, tmp_table_dir):
+    """int→long widening shipped by a MoR batch must evolve the snapshot
+    schema (old int files read as long) instead of writing int64 files
+    under an int32 schema — and a later NARROWER batch upcasts into the
+    widened type."""
+    import datetime as _dt
+    import os
+
+    from aus_land_data_etl_spark.lake.merge import (
+        delta_merge_into,
+        delta_merge_patch_into,
+    )
+    from aus_land_data_etl_spark.lake.table import LakeTable
+
+    D = _dt.datetime
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("event_id", T.StringType()),
+            T.StructField("score", T.IntegerType()),
+        ]
+    )
+    for name, merge in (
+        ("row", delta_merge_into),
+        ("patch", delta_merge_patch_into),
+    ):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_table_dir, name), schema=schema,
+            key_col="url", version_col="warc_ts", n_buckets=2,
+        )
+        b1 = spark.createDataFrame(
+            [("a", D(2024, 1, 1), "e1", "insert", 5)],
+            "url string, warc_ts timestamp, event_id string, op string, score int",
+        )
+        merge(t, b1, "event_id", epoch_id="0", compact_depth=99)
+        big = 5_000_000_000
+        b2 = spark.createDataFrame(
+            [("b", D(2024, 1, 2), "e2", "insert", big)],
+            "url string, warc_ts timestamp, event_id string, op string, score long",
+        )
+        merge(t, b2, "event_id", epoch_id="1", compact_depth=99)
+        assert (
+            dict((f.name, f.dataType.typeName()) for f in t.snapshot().schema.fields)[
+                "score"
+            ]
+            == "long"
+        )
+        b3 = spark.createDataFrame(  # narrower batch after widening
+            [("c", D(2024, 1, 3), "e3", "insert", 7)],
+            "url string, warc_ts timestamp, event_id string, op string, score int",
+        )
+        merge(t, b3, "event_id", epoch_id="2", compact_depth=99)
+        got = {
+            r["url"]: r["score"] for r in read_current(t).collect()
+        }
+        assert got == {"a": 5, "b": big, "c": 7}, name
