@@ -164,7 +164,7 @@ def _matches(entry: dict[str, Any] | None, col: str, op: str, value: Any) -> boo
         p_lo, p_hi = (encode_value(value[0]), encode_value(value[1]))
         if p_lo is None or p_hi is None:
             return True
-        if not _comparable(lo, p_lo):
+        if not _comparable(lo, p_lo) or not _comparable(lo, p_hi):
             return True
         return not (hi < p_lo or lo > p_hi)
     v = encode_value(value)
