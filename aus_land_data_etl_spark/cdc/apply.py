@@ -137,8 +137,31 @@ def manifest_frame(
     """
     from aus_land_data_etl_spark.lake.table import bucket_expr
 
-    row_hash = F.xxhash64("url", F.col("warc_ts").cast("string"), "op")
-    hex_of = lambda c: F.conv(c.cast("string"), 10, 16)  # noqa: E731
+    # The row hash MUST include the total-order tiebreak (event_id):
+    # hashing only (url, warc_ts, op) made two distinct events sharing
+    # those fields byte-identical in the manifest, so two batches with
+    # degenerate source offsets produced colliding content keys and the
+    # second batch was falsely skipped (silent event loss — caught by
+    # tests/test_property_lww.py).  event_id is unique per event, so it
+    # also covers patch payloads (_set_cols/html/lang) implicitly.
+    row_hash = F.xxhash64(
+        "url", F.col("warc_ts").cast("string"), "op", "event_id"
+    )
+    # Multiset checksum: SUM of row hashes mod 2^64, NOT xor.  xor
+    # self-cancels under at-least-once duplication — a batch holding the
+    # same event twice xors to 0, so {e,e} and {e',e'} collide and the
+    # second batch is falsely skipped (Hypothesis-found).  Addition mod
+    # 2^64 is equally commutative/associative (runs re-fold) but
+    # duplicate-sensitive: k copies contribute k·h.  decimal(38,0)
+    # accumulation keeps the sum exact under Spark's ANSI overflow rules
+    # for any feasible batch size (10^10 rows × 2^63 < 10^38).
+    _two64 = F.lit("18446744073709551616").cast("decimal(38,0)")
+    msum = lambda c: F.conv(  # noqa: E731
+        F.pmod(F.sum(c.cast("decimal(38,0)")), _two64).cast("decimal(38,0)")
+        .cast("string"),
+        10,
+        16,
+    )
     if not runs:
         aggs = [
             F.min("source_offset").alias("start_offset"),
@@ -148,7 +171,7 @@ def manifest_frame(
             # transport duplicates inflate row_count, so contiguity is
             # proven on the distinct-offset count instead
             F.countDistinct("source_offset").alias("distinct_offsets"),
-            hex_of(F.bit_xor(row_hash)).alias("checksum"),
+            msum(row_hash).alias("checksum"),
         ]
         if n_buckets is not None:
             aggs.append(
@@ -165,7 +188,8 @@ def manifest_frame(
     ns = ["source_partition", "source_file"]
     per_off_aggs = [
         F.count("*").alias("n_rows"),
-        F.bit_xor(row_hash).alias("h"),  # xor is associative: runs re-fold
+        # modular sum is associative: runs re-fold (see msum above)
+        F.pmod(F.sum(row_hash.cast("decimal(38,0)")), _two64).alias("h"),
     ]
     if n_buckets is not None:
         per_off_aggs.append(
@@ -179,7 +203,7 @@ def manifest_frame(
         F.max("source_offset").alias("end_offset"),
         F.sum("n_rows").alias("row_count"),
         F.count("*").alias("distinct_offsets"),  # dense by construction
-        hex_of(F.bit_xor("h")).alias("checksum"),
+        msum(F.col("h")).alias("checksum"),
     ]
     if n_buckets is not None:
         aggs.append(
@@ -194,9 +218,11 @@ def compute_manifest(
     """Per-source-partition lineage + the touched-bucket set, in ONE action.
 
     Lineage: offset range, row count, order-insensitive checksum of
-    (url, warc_ts, op).  The checksum uses ``bit_xor`` of per-row hashes —
-    commutative, so the same set of rows yields the same checksum
-    regardless of partitioning or arrival order (replay comparability).
+    (url, warc_ts, op, event_id).  The checksum SUMS per-row hashes mod
+    2^64 — commutative AND duplicate-sensitive, so the same *multiset*
+    of rows yields the same checksum regardless of partitioning or
+    arrival order (replay comparability), while at-least-once duplicates
+    still perturb it (xor would self-cancel).
     The reference analog is its per-file row-count telemetry + unique
     file_path lineage (/root/reference/lib/pipeline/nsw_vg/land_values/
     telemetry.py:25-84, sql/meta/schema/001_APPLY_init.sql:36-56).

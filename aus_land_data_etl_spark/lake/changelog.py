@@ -176,10 +176,26 @@ def read_changes(
 
     in_a = F.coalesce(F.col("_in_a"), F.lit(False))
     in_b = F.coalesce(F.col("_in_b"), F.lit(False))
-    same_winner = (
-        F.col(f"a.{ver}").eqNullSafe(F.col(f"b.{ver}"))
-        & F.col(f"a.{tiebreak_col}").eqNullSafe(F.col(f"b.{tiebreak_col}"))
+    is_patch_table = any(
+        f.name in (CELL_VERS, SET_COLS) for f in snap_to.schema.fields
     )
+    if is_patch_table:
+        # Per-cell tables: the row version pair is NOT a change witness —
+        # an out-of-order patch older than the row winner but newer than
+        # one cell's last-determined version changes that cell's resolved
+        # value without moving (ver, tiebreak).  Compare the full resolved
+        # images null-safely instead; identical images (e.g. a patch
+        # re-asserting a cell's current value) are correctly suppressed —
+        # this is a NET-changes feed.
+        same_winner = F.struct(
+            *[F.col(f"a.{c}").alias(c) for c in payload]
+        ).eqNullSafe(F.struct(*[F.col(f"b.{c}").alias(c) for c in payload]))
+    else:
+        # Row-LWW tables: same winning event ⇒ same image (cheap, exact).
+        same_winner = (
+            F.col(f"a.{ver}").eqNullSafe(F.col(f"b.{ver}"))
+            & F.col(f"a.{tiebreak_col}").eqNullSafe(F.col(f"b.{tiebreak_col}"))
+        )
     if with_preimages:
         def img(side: str, ctype: str):
             return F.struct(

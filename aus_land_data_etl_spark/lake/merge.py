@@ -126,13 +126,22 @@ def merge_into(
 def _reject_patch_table(snap, caller: str) -> None:
     """Row-level LWW on a per-cell-versioned table would keep the whole-row
     winner's stale ``_cvers`` map; patch tables must stay on the
-    cell-resolving path."""
-    from aus_land_data_etl_spark.operators.patch import CELL_VERS
+    cell-resolving path.
 
-    if any(f.name == CELL_VERS for f in snap.schema.fields):
+    The guard matches :func:`_is_patch_table` (``_set_cols`` OR
+    ``_cvers``): a merge-on-read patch table before its first
+    fold/cluster carries only ``_set_cols`` in its snapshot schema
+    (``_cvers`` is materialised by resolution), and a whole-row LWW
+    merge on such a table would null every cell a winning patch row did
+    not name.  ``seal_patches`` drops BOTH columns, so row merges are
+    re-enabled after sealing.
+    """
+    from aus_land_data_etl_spark.operators.patch import CELL_VERS, SET_COLS
+
+    if _is_patch_table(snap):
         raise ValueError(
-            f"{caller} cannot run on a table with per-cell versions "
-            f"({CELL_VERS} column); use merge_patch_into"
+            f"{caller} cannot run on a table with per-cell semantics "
+            f"({SET_COLS}/{CELL_VERS} column); use merge_patch_into"
         )
 
 
@@ -175,10 +184,16 @@ def merge_patch_into(
             DELETED_COL, F.coalesce(F.col(OP_COL) == "delete", F.lit(False))
         )
         # only patches carry a determined-cell set; full images and
-        # deletes determine everything (SET_COLS NULL)
+        # deletes determine everything (SET_COLS NULL).  A malformed
+        # patch arriving with NULL _set_cols must NOT become a full
+        # image (it would null every unnamed cell): coalesce to the
+        # empty set, matching prepare_patch_batch's streaming guard.
         .withColumn(
             SET_COLS,
-            F.when(F.col(OP_COL) == "patch", F.col(SET_COLS)),
+            F.when(
+                F.col(OP_COL) == "patch",
+                F.coalesce(F.col(SET_COLS), F.array().cast("array<string>")),
+            ),
         )
         .drop(OP_COL)
     )
@@ -388,7 +403,15 @@ def delta_merge_patch_into(
         src.withColumn(
             DELETED_COL, F.coalesce(F.col(OP_COL) == "delete", F.lit(False))
         )
-        .withColumn(SET_COLS, F.when(F.col(OP_COL) == "patch", F.col(SET_COLS)))
+        # NULL _set_cols on a patch coalesces to the empty set — never a
+        # full image (see merge_patch_into / prepare_patch_batch)
+        .withColumn(
+            SET_COLS,
+            F.when(
+                F.col(OP_COL) == "patch",
+                F.coalesce(F.col(SET_COLS), F.array().cast("array<string>")),
+            ),
+        )
         .drop(OP_COL)
     )
     payload_cols = [

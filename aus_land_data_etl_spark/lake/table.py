@@ -273,9 +273,21 @@ class Snapshot:
         manifest's whole offset range per source partition sits at or
         under that partition's contiguous-prefix watermark, or inside one
         of that partition's parked (dense, above-watermark) pending
-        ranges.  All three paths are precise (never a false skip):
-        watermarks and pending ranges only cover proven-dense applied
-        offsets.
+        ranges.
+
+        False-skip contract: the watermark/pending paths are exact by
+        construction (they only cover proven-dense applied offsets).  The
+        content-key path is exact up to hash collision: the key digests
+        per-namespace (offset range, row count, xor-of-row-hashes) where
+        each row hash covers (url, warc_ts, op, **event_id**) — the
+        total-order tiebreak is included, so two batches differing in ANY
+        event (including patch payloads, which event_id identifies)
+        differ in the digest input.  Residual risk is an xxhash64 xor
+        collision: two distinct row multisets xor-ing to the same 64-bit
+        value within batches sharing identical offset ranges and counts —
+        ~2^-64 per colliding-candidate pair, vanishing against a
+        10^10-event stream's real error sources.  Distinct batch ids
+        never alias (they are recorded verbatim alongside content keys).
         """
         if any(e in self.recent_epochs for e in _normalize_epoch_ids(epoch_id)):
             return True
