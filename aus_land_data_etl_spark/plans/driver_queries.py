@@ -840,6 +840,75 @@ FROM documents
 """
 
 
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-header metadata extraction, value-checked: per
+    doc_id, synthesize a header-correct PNG/JPEG/GIF/WAV payload
+    (``synth_media_bytes`` — deterministic arithmetic on doc_id), then
+    parse width/height/duration back OUT OF THE BYTES with the pure-
+    Python header readers (``parse_media_meta_bytes``, Arrow-batched by
+    ``media_meta``).  The oracle recomputes the expected values from
+    doc_id directly, so a parser that doesn't actually read the spec'd
+    header offsets cannot pass.  Codec decode stays stubbed; this is
+    the honest metadata tier (PNG IHDR / JPEG SOFn / GIF LSD /
+    WAV RIFF fmt+data)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from aus_land_data_etl_spark.operators.multimodal import (
+        media_meta,
+        synth_media_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_media_bytes(int(i))[0] for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    with_payload = docs.mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+    out = media_meta(with_payload)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.width").cast("int").alias("width"),
+        F.col("media_meta.height").cast("int").alias("height"),
+        F.col("media_meta.duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+# Mirror of synth_media_bytes' doc_id arithmetic — matching these values
+# requires the Spark side to actually parse them back out of the bytes.
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 3 THEN 'audio' ELSE 'image' END AS media_type,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 1000
+            WHEN 1 THEN 1 + doc_id % 640
+            WHEN 2 THEN 1 + doc_id % 320 END AS INTEGER) AS width,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 1 + doc_id % 777
+            WHEN 1 THEN 1 + doc_id % 480
+            WHEN 2 THEN 1 + doc_id % 200 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 4 = 3
+            THEN ((100 + doc_id % 900) * 1000) // (8000 * (1 + doc_id % 3))
+            END AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 def q_f_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar classifiers (F3 unit conversion, F9 zone-standard) over
     synthetic codes derived from ``part`` columns."""
@@ -2357,6 +2426,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": q_text_quality,
     "emb_topk_bruteforce": q_emb_topk_bruteforce,
     "multimodal_features": q_multimodal_features,
+    "multimodal_meta": q_multimodal_meta,
     "derive_change_history": q_derive_change_history,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "emb_neardup_cosine": q_emb_neardup_cosine,
@@ -2416,6 +2486,7 @@ ORACLES: dict[str, str] = {
     "emb_topk_bruteforce": ORACLE_EMB_TOPK,
     "emb_topk_ivf_fullprobe": ORACLE_EMB_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL,
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
     "derive_change_history": ORACLE_CHANGE_HISTORY,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "emb_neardup_cosine": ORACLE_EMB_NEARDUP,
