@@ -191,6 +191,103 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+# --- Driver-side mirror of Spark's Murmur3 (seed 42) --------------------
+# Point lookups need the key's bucket id WITHOUT launching a one-row
+# Spark job per read (round-3 verdict #5).  These reimplement exactly the
+# hash `F.hash` computes — Murmur3_x86_32 with Spark's non-standard tail
+# (each trailing byte is a full sign-extended mix round, not the standard
+# murmur tail) — and parity with `bucket_expr` is pinned by a 1k-key
+# property test (tests/test_lake.py) so drift cannot go unnoticed.
+
+_MM3_SEED = 42
+
+
+def _mm3_mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+
+def _mm3_mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def _mm3_fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _to_i32(u: int) -> int:
+    return u - (1 << 32) if u >= (1 << 31) else u
+
+
+def murmur3_bytes(data: bytes, seed: int = _MM3_SEED) -> int:
+    """Spark's ``hashUnsafeBytes``: little-endian 4-byte words, then one
+    full mix round per trailing SIGN-EXTENDED byte, fmix by total length."""
+    h1 = seed & 0xFFFFFFFF
+    aligned = len(data) - len(data) % 4
+    for i in range(0, aligned, 4):
+        k1 = int.from_bytes(data[i : i + 4], "little")
+        h1 = _mm3_mix_h1(h1, _mm3_mix_k1(k1))
+    for i in range(aligned, len(data)):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # Java getByte is signed; sign-extend to 32 bits
+        h1 = _mm3_mix_h1(h1, _mm3_mix_k1(b & 0xFFFFFFFF))
+    return _to_i32(_mm3_fmix(h1, len(data)))
+
+
+def murmur3_long(value: int, seed: int = _MM3_SEED) -> int:
+    """Spark's ``hashLong``: low word then high word, fmix with length 8."""
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = _mm3_mix_h1(seed & 0xFFFFFFFF, _mm3_mix_k1(v & 0xFFFFFFFF))
+    h1 = _mm3_mix_h1(h1, _mm3_mix_k1(v >> 32))
+    return _to_i32(_mm3_fmix(h1, 8))
+
+
+def murmur3_int(value: int, seed: int = _MM3_SEED) -> int:
+    """Spark's ``hashInt``: one mix round, fmix with length 4."""
+    h1 = _mm3_mix_h1(seed & 0xFFFFFFFF, _mm3_mix_k1(value & 0xFFFFFFFF))
+    return _to_i32(_mm3_fmix(h1, 4))
+
+
+def spark_hash_value(key, dtype: T.DataType) -> int:
+    """``F.hash(lit(key))`` for the supported key types, driver-side."""
+    if key is None:
+        raise ValueError("bucket of NULL key is undefined")
+    if isinstance(dtype, T.StringType):
+        return murmur3_bytes(str(key).encode("utf-8"))
+    if isinstance(dtype, T.BinaryType):
+        return murmur3_bytes(bytes(key))
+    if isinstance(dtype, (T.LongType, T.TimestampType)):
+        if isinstance(dtype, T.TimestampType):
+            # Spark hashes timestamps as epoch microseconds
+            import datetime as _dt
+
+            if isinstance(key, _dt.datetime):
+                epoch = _dt.datetime(
+                    1970, 1, 1, tzinfo=key.tzinfo and _dt.timezone.utc
+                )
+                key = int((key - epoch).total_seconds() * 1_000_000)
+        return murmur3_long(int(key))
+    if isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
+        return murmur3_int(int(key))
+    raise TypeError(f"driver-side bucket hash unsupported for {dtype}")
+
+
+def bucket_of(key, n_buckets: int, dtype: T.DataType) -> int:
+    """Driver-side ``bucket_expr``: pmod(murmur3(key), n) with Java pmod
+    semantics (Python ``%`` already yields the non-negative residue)."""
+    return spark_hash_value(key, dtype) % n_buckets
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -651,21 +748,31 @@ class LakeTable:
     def key_bucket(self, key: Any, version: int | None = None) -> int:
         """The bucket id holding ``key`` under this snapshot's layout.
 
-        Evaluated through Spark itself (a one-row local-relation job) so
-        the answer is Murmur3-identical to ``bucket_expr`` — no Python
-        reimplementation of Spark's hash to drift out of sync.
+        Computed driver-side (``bucket_of`` — the Python mirror of
+        Spark's Murmur3), so a point lookup launches exactly ONE Spark
+        job (the bucket read) instead of two.  Parity with
+        ``bucket_expr`` is pinned by a 1k-key property test; unsupported
+        key types fall back to the one-row Spark evaluation so the
+        answer can never silently drift.
         """
         snap = self.snapshot(version)
-        row = (
-            self.spark.range(1)
-            .select(
-                F.pmod(F.hash(F.lit(key)), F.lit(snap.n_buckets))
-                .cast("int")
-                .alias("b")
+        try:
+            return bucket_of(
+                key,
+                snap.n_buckets,
+                snap.schema[snap.key_col].dataType,
             )
-            .first()
-        )
-        return int(row["b"])
+        except TypeError:
+            row = (
+                self.spark.range(1)
+                .select(
+                    F.pmod(F.hash(F.lit(key)), F.lit(snap.n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .first()
+            )
+            return int(row["b"])
 
     def lookup(
         self,

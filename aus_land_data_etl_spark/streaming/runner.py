@@ -63,14 +63,42 @@ class StreamResult:
 #: observe() aggregations attached to every micro-batch (the telemetry
 #: fold of the reference — lib/pipeline/nsw_vg/land_values/telemetry.py:
 #: 25-84 — as engine-side metrics instead of hand-rolled counters).
+#: These ride the manifest job via ``DataFrame.observe`` — ONE envelope
+#: scan per micro-batch computes lineage AND metrics (a separate
+#: ``agg().collect()`` doubled the job count at 10^5 epochs).  observe()
+#: forbids distinct aggregates, so key cardinality is the HLL++
+#: ``approx_count_distinct`` (±2.3% default rsd) — the right trade for
+#: telemetry.
 def _batch_observations():
     return [
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_deletes"),
-        F.countDistinct("url").alias("n_keys"),
+        F.approx_count_distinct("url").alias("n_keys"),
         F.min("warc_ts").alias("min_ts"),
         F.max("warc_ts").alias("max_ts"),
     ]
+
+
+def _observe_batch(batch_df: DataFrame):
+    """(observed_df, handle) — metrics materialise as a side-effect of the
+    FIRST action over the returned frame (the manifest aggregation inside
+    ``apply_batch``), not as an extra job.  All referenced columns are
+    envelope columns, so the extraction UDF stays pruned out of that job.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return batch_df.observe(obs, *_batch_observations()), obs
+
+
+def _drain_observation(obs, epoch_id: int) -> dict:
+    """Blocking read of the metric row (the manifest action has already
+    run by the time apply returns, so this never actually waits)."""
+    m = dict(obs.get)
+    m["epoch"] = int(epoch_id)
+    m["min_ts"] = str(m["min_ts"])
+    m["max_ts"] = str(m["max_ts"])
+    return m
 
 
 def run_stream(
@@ -115,13 +143,8 @@ def run_stream(
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         counters["batches"] += 1
-        # one tiny envelope-only aggregation doubles as row count + metrics
-        obs = batch_df.agg(*_batch_observations()).collect()[0].asDict()
-        obs["epoch"] = int(epoch_id)
-        obs["min_ts"] = str(obs["min_ts"])
-        obs["max_ts"] = str(obs["max_ts"])
-        metrics.append(obs)
-        counters["rows"] += int(obs["n_events"])
+        # metrics ride the manifest job (ONE envelope scan per batch)
+        batch_df, obs_handle = _observe_batch(batch_df)
         # content_keyed: the exactly-once key is the batch's content
         # identity (manifest digest), not the bare Spark batch id — batch
         # ids are only unique within one checkpoint lineage, and a fresh
@@ -141,6 +164,9 @@ def run_stream(
             wal_offsets=True,
             run_manifests=True,
         )
+        obs = _drain_observation(obs_handle, epoch_id)
+        metrics.append(obs)
+        counters["rows"] += int(obs["n_events"])
         for v in views or []:
             v.refresh()
         if expire_every and counters["batches"] % expire_every == 0:
@@ -203,12 +229,8 @@ def run_patch_stream(
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         counters["batches"] += 1
-        obs = batch_df.agg(*_batch_observations()).collect()[0].asDict()
-        obs["epoch"] = int(epoch_id)
-        obs["min_ts"] = str(obs["min_ts"])
-        obs["max_ts"] = str(obs["max_ts"])
-        metrics.append(obs)
-        counters["rows"] += int(obs["n_events"])
+        # metrics ride the manifest job (ONE envelope scan per batch)
+        batch_df, obs_handle = _observe_batch(batch_df)
         apply_patch_batch(
             table,
             batch_df,
@@ -217,6 +239,9 @@ def run_patch_stream(
             wal_offsets=True,
             run_manifests=True,
         )
+        obs = _drain_observation(obs_handle, epoch_id)
+        metrics.append(obs)
+        counters["rows"] += int(obs["n_events"])
         if expire_every and counters["batches"] % expire_every == 0:
             table.expire_snapshots(keep_last=expire_keep_last)
             if vacuum_grace_seconds is not None:

@@ -203,3 +203,34 @@ def test_long_run_bounds_snapshot_dirs_on_disk(spark, dirs):
         "url", "warc_ts", "event_id", "text", "lang", "fetch_status"
     )
     assert _fingerprint(got) == _expected(events)
+
+
+def test_metrics_ride_manifest_job_single_scan(spark):
+    """Round-3 verdict #4: per-batch telemetry must NOT be a second
+    envelope scan.  Evidence: compute_manifest over an observed frame is
+    the ONLY action — reading the observation afterwards launches zero
+    additional Spark jobs, and the metric values equal a directly
+    aggregated reference."""
+    from aus_land_data_etl_spark.cdc.apply import compute_manifest
+    from aus_land_data_etl_spark.streaming.runner import (
+        _batch_observations,
+        _observe_batch,
+    )
+
+    events = generate_events(spark, 1500, seed=31).localCheckpoint(eager=True)
+    observed, handle = _observe_batch(events)
+    sc = spark.sparkContext
+    group = "obs-single-scan"
+    sc.setJobGroup(group, "metrics piggyback evidence")
+    try:
+        manifest, _ = compute_manifest(prepare_batch(observed), n_buckets=8)
+        jobs_after_manifest = len(sc.statusTracker().getJobIdsForGroup(group))
+        got = dict(handle.get)  # must already be populated
+        jobs_after_get = len(sc.statusTracker().getJobIdsForGroup(group))
+    finally:
+        sc.setJobGroup("", "")
+    assert manifest  # the manifest job really ran
+    assert jobs_after_manifest >= 1
+    assert jobs_after_get == jobs_after_manifest  # obs.get launched NO job
+    want = events.agg(*_batch_observations()).collect()[0].asDict()
+    assert got == want
