@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aus_land_data_etl_spark.lake.merge import (
+    delta_merge_patch_into,
     merge_into,
     merge_patch_into,
     read_current,
@@ -721,3 +722,65 @@ def test_type_widening_through_delta_paths(spark, tmp_table_dir):
             r["url"]: r["score"] for r in read_current(t).collect()
         }
         assert got == {"a": 5, "b": big, "c": 7}, name
+
+
+def test_row_lww_guard_on_unfolded_mor_patch_table(spark, tmp_table_dir):
+    """ADVICE round-3 (medium): a merge-on-read patch table BEFORE its
+    first fold carries only _set_cols in its snapshot schema (_cvers is
+    materialised by resolution) — the guard must still reject whole-row
+    LWW merges, which would null every cell a winning patch didn't name."""
+    from aus_land_data_etl_spark.lake.merge import delta_merge_into, merge_into
+
+    t = _mk_table(spark, tmp_table_dir)
+    delta_merge_patch_into(
+        t,
+        _events(
+            spark,
+            [
+                ("a", 10, "e1", "insert", "x", "en", 1.0, None),
+                ("a", 20, "e2", "patch", None, "fr", None, ["lang"]),
+            ],
+        ),
+        "event_id",
+        epoch_id="0",
+        compact_depth=99,  # never fold: snapshot schema has no _cvers yet
+    )
+    names = {f.name for f in t.snapshot().schema.fields}
+    assert SET_COLS in names and CELL_VERS not in names  # the trap setup
+    full = _events(
+        spark, [("a", 30, "e3", "update", "y", "de", 2.0, None)]
+    ).drop(SET_COLS)
+    with pytest.raises(ValueError, match="merge_patch_into"):
+        merge_into(t, full, "event_id", epoch_id="1")
+    with pytest.raises(ValueError, match="merge_patch_into"):
+        delta_merge_into(t, full, "event_id", epoch_id="1")
+    # state unharmed
+    assert _state(t)["a"] == ("x", "fr", 1.0, TS(20))
+
+
+@pytest.mark.parametrize("entry", ["cow", "mor"])
+def test_null_set_cols_patch_is_empty_set_not_full_image(
+    spark, tmp_table_dir, entry
+):
+    """ADVICE round-3 (low): a malformed patch with NULL _set_cols
+    reaching the merge entry points directly (bypassing
+    prepare_patch_batch's coalesce) must determine NOTHING — previously
+    it became a full image and nulled every unnamed cell."""
+    t = _mk_table(spark, tmp_table_dir)
+    merge = merge_patch_into if entry == "cow" else delta_merge_patch_into
+    merge(
+        t,
+        _events(spark, [("a", 10, "e1", "insert", "x", "en", 1.0, None)]),
+        "event_id",
+        epoch_id="0",
+    )
+    # newest event, op=patch, set_cols NULL
+    merge(
+        t,
+        _events(spark, [("a", 20, "e2", "patch", None, None, None, None)]),
+        "event_id",
+        epoch_id="1",
+    )
+    st = _state(t)["a"]
+    # payload cells keep their e1 values; only the row version advances
+    assert st == ("x", "en", 1.0, TS(20)), st
