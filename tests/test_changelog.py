@@ -291,3 +291,79 @@ def test_changelog_across_rebucket_and_expire(spark, table3):
         for r in read_changes(t, pre, cur).select("url", "change_type").collect()
     }
     assert ch2 == {(r["url"], r["change_type"]) for r in ch.collect()}
+
+
+def test_changelog_patch_table_cell_only_change_not_suppressed(
+    spark, tmp_table_dir
+):
+    """ADVICE round-3 (medium): on a per-cell table, an out-of-order patch
+    OLDER than the row's current version but newer than one cell's
+    last-determined version changes that cell's resolved value WITHOUT
+    moving the row (version, tiebreak) pair — the changelog must report
+    it as an update (image comparison), or subscription consumers
+    silently diverge.  Also: a patch re-asserting a cell's current value
+    (identical resolved image) must stay suppressed (net-changes feed)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from aus_land_data_etl_spark.cdc.apply import apply_patch_batch
+    from aus_land_data_etl_spark.cdc.events import PATCH_EVENT_SCHEMA
+
+    def pev(eid, op, url, ts_sec, sets, html, lang, off):
+        return Row(
+            event_id=eid, op=op, url=url,
+            warc_ts=dt.datetime(2024, 1, 1, 0, 0, ts_sec),
+            set_cols=sets, html=html, lang=lang,
+            source_partition=0, source_offset=off,
+            source_file="t.parquet", source_pos=off,
+        )
+
+    t = create_pages_table(spark, tmp_table_dir, n_buckets=4)
+    # v1: full image at ts=10 (lang en), then a NEWER patch at ts=30
+    # naming only html — row version becomes 30, lang cell stays at 10
+    apply_patch_batch(
+        t,
+        spark.createDataFrame(
+            [
+                pev("e1", "insert", "https://a.example.com/p", 10, None,
+                    b"<p>one</p>", "en", 0),
+                pev("e2", "patch", "https://a.example.com/p", 30, ["html"],
+                    b"<p>two</p>", None, 1),
+            ],
+            PATCH_EVENT_SCHEMA,
+        ),
+        epoch=0,
+    )
+    v_mid = t.current_version()
+    # OUT-OF-ORDER patch at ts=20 (< row version 30) naming only lang:
+    # the lang cell's winner moves 10→20 ("en"→"fr") while the row
+    # (version, tiebreak) stays (30, e2)
+    apply_patch_batch(
+        t,
+        spark.createDataFrame(
+            [pev("e3", "patch", "https://a.example.com/p", 20, ["lang"],
+                 None, "fr", 2)],
+            PATCH_EVENT_SCHEMA,
+        ),
+        epoch=1,
+    )
+    v_after = t.current_version()
+    ch = read_changes(t, v_mid, v_after).collect()
+    assert len(ch) == 1 and ch[0]["change_type"] == "update"
+    assert ch[0]["lang"] == "fr"
+    assert ch[0]["warc_ts"] == dt.datetime(2024, 1, 1, 0, 0, 30)  # row ver
+
+    # identical-image patch: re-assert lang='fr' at ts=25 (cell winner
+    # advances 20→25 but the resolved VALUE is unchanged) → net feed
+    # stays empty
+    apply_patch_batch(
+        t,
+        spark.createDataFrame(
+            [pev("e4", "patch", "https://a.example.com/p", 25, ["lang"],
+                 None, "fr", 3)],
+            PATCH_EVENT_SCHEMA,
+        ),
+        epoch=2,
+    )
+    assert read_changes(t, v_after, t.current_version()).count() == 0
