@@ -83,3 +83,30 @@ def test_lookup_issues_exactly_one_job(spark, tmp_table_dir):
         sc.setJobGroup("", "")
     assert len(rows) == 1
     assert n_jobs == 1, f"lookup launched {n_jobs} jobs, expected 1"
+
+
+def test_timestamp_hash_parity(spark):
+    """Timestamp keys hash as epoch microseconds (incl. pre-epoch and
+    microsecond-precision values) — the driver-side path must match
+    F.hash exactly or a timestamp-keyed lookup would silently open the
+    wrong bucket."""
+    import datetime as dt
+
+    rng = random.Random(3)
+    tss = [
+        dt.datetime(1970, 1, 1),
+        dt.datetime(2024, 2, 29, 23, 59, 59),
+        dt.datetime(1969, 12, 31, 23, 0, 0),  # negative epoch micros
+    ] + [
+        dt.datetime(2000, 1, 1)
+        + dt.timedelta(
+            seconds=rng.randint(0, 10**9), microseconds=rng.randint(0, 999999)
+        )
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t in tss],
+        T.StructType([T.StructField("k", T.TimestampType())]),
+    ).select(F.hash("k").alias("h"))
+    for t, r in zip(tss, df.collect()):
+        assert spark_hash_value(t, T.TimestampType()) == r["h"], t
