@@ -275,7 +275,13 @@ def spark_hash_value(key, dtype: T.DataType) -> int:
                 epoch = _dt.datetime(
                     1970, 1, 1, tzinfo=key.tzinfo and _dt.timezone.utc
                 )
-                key = int((key - epoch).total_seconds() * 1_000_000)
+                d = key - epoch
+                # integer micros: total_seconds()*1e6 loses precision
+                # above ~2^53 femtoseconds (float64) — off-by-1-µs hashes
+                # a different bucket
+                key = (
+                    (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+                )
         return murmur3_long(int(key))
     if isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
         return murmur3_int(int(key))
