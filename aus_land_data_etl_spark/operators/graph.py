@@ -1,0 +1,111 @@
+"""Connected components over similarity graphs (dedup clustering).
+
+The missing last step of every near-duplicate pipeline: pair lists
+(MinHash/SimHash candidates, exact Jaccard, embedding cosine) become
+CLUSTERS, so a training-data build can keep one canonical document per
+component.  The reference stops at per-key canonicalisation
+(/root/reference/lib/tasks/nsw_vg/ingest_deduplicate.py — duplicates
+share an explicit key); a 100 TB near-dup graph has no key, only edges.
+
+Algorithm: iterative minimum-label propagation WITH path halving —
+each round every node takes the min of (its label, its neighbours'
+labels, its label's label).  The third term is pointer jumping: label
+chains halve every round, so convergence is O(log(diameter)) rounds,
+not O(diameter) — a 1M-node chain needs ~20 rounds, and real near-dup
+components (tiny cliques) converge in 2-3.  Each round is two
+shuffle-bounded joins + one aggregation on (nodes + 2·edges) rows —
+the Kiveris large-star/small-star bound with a simpler, associative
+round body.  Lineage is cut per round (localCheckpoint), so the plan
+does not grow with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(id, component) for every vertex; ``component`` is the minimum
+    vertex id in the component (deterministic canonical representative).
+
+    ``vertices`` optionally supplies isolated nodes (no edges); ids must
+    be an orderable type (long/string).  Raises if ``max_rounds`` pass
+    without a fixpoint (40 rounds covers a diameter of ~2^40 under path
+    halving — unreachable in practice; hitting it means the input is
+    pathological, not that more rounds would help).
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    nodes = sym.select(F.col("u").alias(id_col))
+    if vertices is not None:
+        nodes = nodes.unionByName(vertices.select(id_col))
+    nodes = nodes.distinct()
+    labels = nodes.select(id_col, F.col(id_col).alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels[id_col])
+            .groupBy("u")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        # path halving: component(component(u)) — component values are
+        # vertex ids, and every vertex id is in `labels`
+        ptr = labels.select(
+            F.col(id_col).alias("_pid"), F.col("component").alias("_grand")
+        )
+        nxt = (
+            labels.join(nbr_min, labels[id_col] == nbr_min["u"], "left")
+            .join(ptr, labels["component"] == ptr["_pid"], "left")
+            .select(
+                labels[id_col],
+                F.least(
+                    labels["component"],
+                    F.coalesce(F.col("_nbr"), labels["component"]),
+                    F.coalesce(F.col("_grand"), labels["component"]),
+                ).alias("component"),
+                (
+                    F.least(
+                        F.coalesce(F.col("_nbr"), labels["component"]),
+                        F.coalesce(F.col("_grand"), labels["component"]),
+                    )
+                    < labels["component"]
+                ).alias("_changed"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # cut lineage per round
+        changed = nxt.filter(F.col("_changed")).limit(1).count()
+        labels = nxt.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """(doc_id, component) over a near-dup pair list: every document is
+    assigned to its similarity component (singletons keep themselves) —
+    downstream keeps ``component == doc_id`` rows as canonical."""
+    return connected_components(
+        pairs,
+        src=pair_a,
+        dst=pair_b,
+        vertices=docs.select(F.col(id_col).alias("id")),
+        id_col="id",
+    ).select(F.col("id").alias(id_col), "component")

@@ -1008,6 +1008,70 @@ WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
 """
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the exact n-gram
+    Jaccard near-dup graph (same edge set as ``ngram_jaccard_pairs``),
+    every sampled document assigned to its similarity component
+    (singletons keep themselves; component id = min doc_id — the
+    deterministic canonical representative downstream keeps).  Iterative
+    min-label propagation with path halving — O(log diameter) rounds of
+    shuffle-bounded joins (operators/graph.py); the oracle recomputes
+    the components with a recursive CTE over the identical pair SQL."""
+    from aus_land_data_etl_spark.operators.graph import neardup_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(5)) == 0)
+    pairs = jaccard_all_pairs(
+        docs, "doc_id", "text", shingle_n=5, threshold=0.2
+    ).select("id_a", "id_b")
+    out = neardup_clusters(pairs, docs, id_col="doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+# Same shingle/Jaccard CTEs as ORACLE_NGRAM_JACCARD, then transitive
+# closure by recursive min-label reachability: component = min reachable
+# doc_id.  Matching this requires the Spark side to compute the same
+# fixpoint, not just the pair list.
+ORACLE_NEARDUP_COMPONENTS = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, REGEXP_REPLACE(LOWER(COALESCE(text, '')), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id % 5 = 0
+),
+pos AS (
+  SELECT doc_id, t,
+         UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(t) - 4, 0))) AS i
+  FROM docs
+),
+sh AS (SELECT DISTINCT doc_id, SUBSTRING(t, CAST(i AS INT), 5) AS sh FROM pos),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT doc_id AS u, doc_id AS r FROM docs
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+)
+SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u
+"""
+
+
 def q_emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: exact all-pairs, cosine ≥ 0.5."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2429,6 +2493,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_meta": q_multimodal_meta,
     "derive_change_history": q_derive_change_history,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "neardup_components": q_neardup_components,
     "emb_neardup_cosine": q_emb_neardup_cosine,
     "minhash_dedup": q_minhash_dedup,
     "simhash_candidates": q_simhash_candidates,
@@ -2489,6 +2554,7 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "derive_change_history": ORACLE_CHANGE_HISTORY,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    "neardup_components": ORACLE_NEARDUP_COMPONENTS,
     "emb_neardup_cosine": ORACLE_EMB_NEARDUP,
     "t_windowed_rollup": ORACLE_WINDOWED_ROLLUP,
     "sessionize_events": ORACLE_SESSIONIZE,
