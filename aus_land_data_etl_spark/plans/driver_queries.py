@@ -1072,6 +1072,121 @@ SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u
 """
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment for every document —
+    hash-bucketed on md5 (NOT xxhash/murmur) so the assignment is
+    byte-identical in every engine: stable under repartitioning, re-runs
+    and incremental arrivals, and the oracle recomputes it exactly.
+    90/5/5 by ppm thresholds (functions/sampling.py)."""
+    from aus_land_data_etl_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    out = hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "split")
+
+
+ORACLE_DATASET_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(
+           md5(CONCAT(CAST(doc_id AS VARCHAR), '|', 'v1')), 1, 8)
+         ) AS BIGINT) % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 900000 THEN 'train'
+            WHEN bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup flow composed end-to-end: near-dup graph
+    → connected components → ONE canonical document kept per component
+    (keep-longest rule, ties to the smallest doc_id — the standard
+    web-corpus policy).  Pure Catalyst on top of the component labels:
+    one ``max_by`` aggregation per component, no window needed."""
+    from aus_land_data_etl_spark.operators.graph import neardup_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(5)) == 0)
+    pairs = jaccard_all_pairs(
+        docs, "doc_id", "text", shingle_n=5, threshold=0.2
+    ).select("id_a", "id_b")
+    comps = neardup_clusters(pairs, docs, id_col="doc_id")
+    scored = comps.join(docs.select("doc_id", "text"), "doc_id").select(
+        "component",
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("len"),
+    )
+    return scored.groupBy(F.col("component").cast("long").alias("component")).agg(
+        F.max_by(
+            F.col("doc_id").cast("long"),
+            F.struct(F.col("len"), (-F.col("doc_id")).alias("neg")),
+        ).alias("canonical_doc_id"),
+        F.count("*").cast("long").alias("n_members"),
+        F.max("len").cast("long").alias("max_len"),
+    )
+
+
+ORACLE_NEARDUP_CANONICAL = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text,
+         REGEXP_REPLACE(LOWER(COALESCE(text, '')), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id % 5 = 0
+),
+pos AS (
+  SELECT doc_id, t,
+         UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(t) - 4, 0))) AS i
+  FROM docs
+),
+sh AS (SELECT DISTINCT doc_id, SUBSTRING(t, CAST(i AS INT), 5) AS sh FROM pos),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT doc_id AS u, doc_id AS r FROM docs
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+),
+comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+scored AS (
+  SELECT c.component, c.doc_id,
+         LENGTH(COALESCE(d.text, '')) AS len,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.component
+           ORDER BY LENGTH(COALESCE(d.text, '')) DESC, c.doc_id ASC
+         ) AS rn
+  FROM comp c JOIN docs d ON d.doc_id = c.doc_id
+)
+SELECT component,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+       COUNT(*) AS n_members,
+       MAX(len) AS max_len
+FROM scored
+GROUP BY component
+"""
+
+
 def q_emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: exact all-pairs, cosine ≥ 0.5."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2494,6 +2609,8 @@ QUERIES: dict[str, QueryFn] = {
     "derive_change_history": q_derive_change_history,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "neardup_components": q_neardup_components,
+    "neardup_canonical": q_neardup_canonical,
+    "dataset_split": q_dataset_split,
     "emb_neardup_cosine": q_emb_neardup_cosine,
     "minhash_dedup": q_minhash_dedup,
     "simhash_candidates": q_simhash_candidates,
@@ -2555,6 +2672,8 @@ ORACLES: dict[str, str] = {
     "derive_change_history": ORACLE_CHANGE_HISTORY,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "neardup_components": ORACLE_NEARDUP_COMPONENTS,
+    "neardup_canonical": ORACLE_NEARDUP_CANONICAL,
+    "dataset_split": ORACLE_DATASET_SPLIT,
     "emb_neardup_cosine": ORACLE_EMB_NEARDUP,
     "t_windowed_rollup": ORACLE_WINDOWED_ROLLUP,
     "sessionize_events": ORACLE_SESSIONIZE,
