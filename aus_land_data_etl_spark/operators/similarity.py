@@ -376,3 +376,129 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+class IvfIndex:
+    """Persisted IVF index: index ONCE, query many — the serving shape a
+    100 TB embedding corpus needs (re-training the quantizer and
+    re-assigning every corpus vector per query batch does not amortize).
+
+    Layout under ``root``:
+    - ``centroids.json`` — the trained coarse quantizer (n_cells × dim)
+      plus metadata (columns, seed, n_cells);
+    - ``cells/`` — the corpus with its cell assignment, parquet
+      **partitioned by cell**: a query batch probing p of n cells reads
+      only those p directories (partition pruning at the FILE level —
+      ``search`` filters on the partition column before any scan, and
+      ``inputFiles()`` proves it; tests pin this).
+
+    Determinism: building twice from the same corpus/seed yields
+    byte-identical centroids and assignments (hash-seeded init, Lloyd on
+    deterministic data), so an index can be rebuilt for audit.
+    """
+
+    def __init__(self, spark, root: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.root = root
+        with open(os.path.join(root, "centroids.json")) as f:
+            meta = json.load(f)
+        self.centroids: list[list[float]] = meta["centroids"]
+        self.id_col: str = meta["id_col"]
+        self.n_cells: int = meta["n_cells"]
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 8,
+        n_iters: int = 2,
+        seed: int = 42,
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_cells=n_cells, n_iters=n_iters, seed=seed
+        )
+        spark = corpus.sparkSession
+        assign = _cell_assign_udf(spark, centroids)
+        indexed = (
+            corpus.select(
+                F.col(id_col).alias("neighbour_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            )
+            .filter(F.col("cv").isNotNull())
+            .withColumn("cell", assign(F.col("cv")))
+        )
+        indexed.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(root, "cells")
+        )
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, "centroids.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "centroids": centroids,
+                    "id_col": id_col,
+                    "n_cells": n_cells,
+                    "seed": seed,
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(root, "centroids.json"))
+        return cls(spark, root)
+
+    def cells(self) -> DataFrame:
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.root, "cells"))
+
+    def search(
+        self,
+        queries: DataFrame,
+        vec_col: str = "embedding",
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Top-k neighbours per query over the persisted cells.
+
+        The probed-cell set of the whole query batch is pushed as a
+        partition filter BEFORE the corpus scan — unprobed cell
+        directories are never opened."""
+        from pyspark.sql import Window
+
+        probe = _probe_cells_udf(self.spark, self.centroids, nprobe)
+        q = (
+            queries.select(
+                F.col(self.id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("qv"),
+            )
+            .filter(F.col("qv").isNotNull())
+            .withColumn("cell", F.explode(probe(F.col("qv"))))
+        )
+        # bounded driver-side set: ≤ n_cells ints — the partition filter
+        probed = sorted(
+            r["cell"] for r in q.select("cell").distinct().collect()
+        )
+        c = self.cells().filter(F.col("cell").isin(probed))
+        scored = (
+            c.join(F.broadcast(q), "cell")
+            .filter(F.col("query_id") != F.col("neighbour_id"))
+            .select(
+                "query_id",
+                "neighbour_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("neighbour_id")
+        )
+        return scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).filter(F.col("rank") <= k)

@@ -1230,6 +1230,30 @@ def q_emb_topk_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the PERSISTED index (``IvfIndex.build`` →
+    parquet cells partitioned by cell id → ``search``): index once,
+    query many — the serving shape a 100 TB embedding corpus needs.
+    Full probe (nprobe == n_cells) makes the search exhaustive, so it
+    shares the brute-force DuckDB oracle — a hard value check on the
+    whole build→persist→reload→search path, incl. the partition-pruned
+    cell read."""
+    from aus_land_data_etl_spark.operators.similarity import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    d = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        IvfIndex.build(emb, d, n_cells=8, seed=42)
+        idx = IvfIndex(spark, d)  # reload from disk — no retraining
+        out = idx.search(queries, k=5, nprobe=8).select(
+            "query_id", "neighbour_id", "rank", "cosine_sim"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_minhash_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -2617,6 +2641,7 @@ QUERIES: dict[str, QueryFn] = {
     "emb_topk_lsh": q_emb_topk_lsh,
     "emb_topk_ivf": q_emb_topk_ivf,
     "emb_topk_ivf_fullprobe": q_emb_topk_ivf_fullprobe,
+    "emb_topk_ivf_indexed": q_emb_topk_ivf_indexed,
     "t_windowed_rollup": q_t_windowed_rollup,
     "sessionize_events": q_sessionize_events,
     "props_json": q_props_json,
@@ -2667,6 +2692,7 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_QUALITY,
     "emb_topk_bruteforce": ORACLE_EMB_TOPK,
     "emb_topk_ivf_fullprobe": ORACLE_EMB_TOPK,
+    "emb_topk_ivf_indexed": ORACLE_EMB_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "derive_change_history": ORACLE_CHANGE_HISTORY,
