@@ -1,0 +1,114 @@
+"""Corpus curation operators: domain caps, benchmark decontamination,
+sequence packing.
+
+The three filters every LLM pretraining-data build runs between dedup
+and tokenization, expressed as pure Catalyst (no UDFs — window
+functions, semi/anti joins, array expressions), each with an exact
+ANSI-SQL mirror so the driver oracle value-checks them:
+
+- **domain caps** (anti-spam): unbounded per-source document counts let
+  one boilerplate-heavy domain dominate the corpus; keep at most N
+  documents per group, preferring high quality, deterministic ties.
+- **decontamination**: drop any document sharing a word n-gram with a
+  benchmark/eval set (the n-gram-overlap rule from the GPT-3/PaLM
+  appendix family) — a shingle semi-join, never a cross join.
+- **sequence packing**: assign documents to fixed-token-budget bins in
+  a deterministic order (the streaming-dataloader contiguous-fill
+  policy) — a running-sum window, so the assignment is reproducible
+  and partition-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_tokens(text: Column) -> Column:
+    """Whitespace-normalised lowercase tokens — identical in SQL via
+    REGEXP_SPLIT_TO_ARRAY(TRIM(REGEXP_REPLACE(LOWER(t),'\\s+',' ')), ' ')."""
+    t = F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"\s+", " "))
+    return F.when(F.length(t) > 0, F.split(t, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_shingles(text: Column, n: int = 5) -> Column:
+    """All ``n``-word shingles of ``text`` (space-joined), [] if shorter."""
+    toks = _norm_tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[Column],
+    max_per_group: int,
+    rank_col: str = "_rk",
+) -> DataFrame:
+    """Keep the top ``max_per_group`` rows per group under ``order_by``
+    (callers pass a deterministic total order — e.g. quality DESC,
+    id ASC).  One window, no UDF; at scale this is one shuffle on the
+    group key with partial top-k pushdown (WindowGroupLimit)."""
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= max_per_group)
+        .drop(rank_col)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Drop documents sharing any ``n``-word shingle with the benchmark
+    set.  Shingle explode + LEFT ANTI join on the shingle — work is
+    O(doc shingles + bench shingles), distributed on the shingle hash;
+    the benchmark side is typically tiny and broadcasts."""
+    exploded = docs.select(
+        id_col, F.explode(word_shingles(F.col(text_col), n)).alias("_sh")
+    )
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(F.col(bench_text_col), n)).alias("_sh")
+    ).distinct()
+    dirty = (
+        exploded.join(F.broadcast(bench_sh), "_sh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(dirty, id_col, "left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_by: list[Column],
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Assign rows to fixed-token-budget bins by contiguous fill over a
+    deterministic total order (the streaming-dataloader packing policy:
+    documents are concatenated in order and cut every ``budget``
+    tokens; a document longer than the budget occupies its own bin(s)).
+
+    ``bin_id = floor(exclusive_running_sum / budget)`` — one global
+    running sum.  NOTE the single-ordering window is intentionally the
+    exact dataloader semantic; for embarrassingly parallel packing,
+    pre-split by a hash bucket and pack within buckets (compose with
+    ``split_bucket``)."""
+    w = Window.orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = F.sum(token_col).over(w) - F.col(token_col)  # exclusive
+    return df.withColumn(
+        bin_col, F.floor(running / F.lit(budget)).cast("long")
+    )

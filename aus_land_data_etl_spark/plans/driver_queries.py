@@ -1072,6 +1072,119 @@ SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u
 """
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-spam domain caps: keep at most 5 documents per synthetic
+    domain (doc_id mod 37), preferring longer text, deterministic ties
+    to the smaller doc_id — one window with group-limit pushdown, no
+    UDF (operators/curation.cap_per_group)."""
+    from aus_land_data_etl_spark.operators.curation import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.pmod("doc_id", F.lit(37)).cast("long").alias("domain"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("len"),
+    )
+    out = cap_per_group(
+        docs,
+        "domain",
+        order_by=[F.desc("len"), F.asc("doc_id")],
+        max_per_group=5,
+    )
+    return out.select("doc_id", "domain", F.col("len").cast("long").alias("len"))
+
+
+ORACLE_DOMAIN_CAP = """
+WITH d AS (
+  SELECT doc_id, doc_id % 37 AS domain,
+         LENGTH(COALESCE(text, '')) AS len
+  FROM documents
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY domain ORDER BY len DESC, doc_id ASC) AS rn
+  FROM d
+)
+SELECT doc_id, domain, len FROM r WHERE rn <= 5
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing any 5-word shingle
+    with the synthetic benchmark set (doc_id mod 97 = 0) are dropped —
+    shingle explode + broadcast LEFT ANTI join, never a cross join
+    (operators/curation.decontaminate).  The oracle recomputes the same
+    shingle sets with list slicing and NOT EXISTS."""
+    from aus_land_data_etl_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    bench = docs.filter(F.pmod("doc_id", F.lit(97)) == 0)
+    clean = decontaminate(
+        docs.filter(F.pmod("doc_id", F.lit(97)) != 0), bench, n=5
+    )
+    return clean.select("doc_id")
+
+
+ORACLE_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+         REGEXP_SPLIT_TO_ARRAY(
+           TRIM(REGEXP_REPLACE(LOWER(COALESCE(text, '')), '\\s+', ' ', 'g')),
+           ' ') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, ARRAY_TO_STRING(tk[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS s
+  FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 4, 0))) AS t(i)
+  WHERE LEN(tk) >= 5 AND ARRAY_TO_STRING(tk, '') <> ''
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+dirty AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench)
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents assigned to 4096-token bins by
+    contiguous fill over (doc_id) order — the streaming-dataloader
+    policy as ONE running-sum window; the assignment is a pure function
+    of the order, so it is reproducible and partition-independent
+    (operators/curation.pack_sequences).  Token counts via the engine's
+    whitespace tokenizer (functions/text.token_count)."""
+    from aus_land_data_etl_spark.functions.text import token_count
+    from aus_land_data_etl_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    out = pack_sequences(
+        docs, "n_tokens", budget=4096, order_by=[F.asc("doc_id")]
+    )
+    return out.select("doc_id", "n_tokens", "bin_id")
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH d AS (
+  SELECT doc_id,
+         LEN(REGEXP_EXTRACT_ALL(COALESCE(text, ''),
+             '[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(
+         (SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+         / 4096.0) AS BIGINT) AS bin_id
+FROM d
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment for every document —
     hash-bucketed on md5 (NOT xxhash/murmur) so the assignment is
@@ -2635,6 +2748,9 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_components": q_neardup_components,
     "neardup_canonical": q_neardup_canonical,
     "dataset_split": q_dataset_split,
+    "domain_cap": q_domain_cap,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
     "emb_neardup_cosine": q_emb_neardup_cosine,
     "minhash_dedup": q_minhash_dedup,
     "simhash_candidates": q_simhash_candidates,
@@ -2700,6 +2816,9 @@ ORACLES: dict[str, str] = {
     "neardup_components": ORACLE_NEARDUP_COMPONENTS,
     "neardup_canonical": ORACLE_NEARDUP_CANONICAL,
     "dataset_split": ORACLE_DATASET_SPLIT,
+    "domain_cap": ORACLE_DOMAIN_CAP,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "emb_neardup_cosine": ORACLE_EMB_NEARDUP,
     "t_windowed_rollup": ORACLE_WINDOWED_ROLLUP,
     "sessionize_events": ORACLE_SESSIONIZE,

@@ -1,0 +1,87 @@
+"""Curation operators: domain caps, decontamination, sequence packing —
+edge cases beyond the driver oracles (empty text, short docs, oversized
+documents, cap larger than group)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aus_land_data_etl_spark.operators.curation import (
+    cap_per_group,
+    decontaminate,
+    pack_sequences,
+    word_shingles,
+)
+
+
+def test_word_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "too short"),
+            (3, ""),
+            (4, None),
+            (5, "  spaced   Out   a b c  d  "),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["sh"]
+        for r in df.select("id", word_shingles(F.col("text"), 5).alias("sh")).collect()
+    }
+    assert got[1] == ["one two three four five", "two three four five six"]
+    assert got[2] == [] and got[3] == [] and got[4] == []
+    assert got[5] == ["spaced out a b c", "out a b c d"]
+
+
+def test_cap_per_group_keeps_best_and_small_groups(spark):
+    df = spark.createDataFrame(
+        [(g, i, 10 * i) for g in range(2) for i in range(6)] + [(9, 0, 5)],
+        "grp long, id long, score long",
+    )
+    got = cap_per_group(
+        df, "grp", order_by=[F.desc("score"), F.asc("id")], max_per_group=3
+    )
+    rows = {(r["grp"], r["id"]) for r in got.collect()}
+    assert rows == {(0, 5), (0, 4), (0, 3), (1, 5), (1, 4), (1, 3), (9, 0)}
+
+
+def test_decontaminate_drops_only_overlapping(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here thanks a lot folks"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps far away")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=5).collect()}
+    # doc 1 shares "the quick brown fox jumps"; doc 3 too short to shingle
+    assert kept == {2, 3}
+
+
+def test_pack_sequences_contiguous_fill_and_oversize(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 250), (4, 10), (5, 500), (6, 1)],
+        "id long, n long",
+    )
+    got = {
+        r["id"]: r["bin_id"]
+        for r in pack_sequences(
+            df, "n", budget=256, order_by=[F.asc("id")]
+        ).collect()
+    }
+    # exclusive running sums: 0,100,200,450,460,960
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 3}
+    # deterministic under repartition
+    got2 = {
+        r["id"]: r["bin_id"]
+        for r in pack_sequences(
+            df.repartition(5), "n", budget=256, order_by=[F.asc("id")]
+        ).collect()
+    }
+    assert got2 == got
