@@ -112,3 +112,18 @@ def pack_sequences(
     return df.withColumn(
         bin_col, F.floor(running / F.lit(budget)).cast("long")
     )
+
+
+def dup_ngram_frac(text: Column, n: int = 3) -> Column:
+    """Fraction of duplicated word ``n``-grams: 1 − distinct/total (0.0
+    for texts with <2 n-grams).  The Gopher-family repetition signal —
+    boilerplate and spam repeat phrases, prose doesn't; filter rows
+    above a threshold before training.  Pure array expressions."""
+    sh = word_shingles(text, n)
+    total = F.size(sh)
+    return F.when(
+        total > 1,
+        F.round(
+            1.0 - F.size(F.array_distinct(sh)) / total.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))

@@ -1185,6 +1185,65 @@ FROM d
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition signal: fraction of duplicated word
+    2-grams and 3-grams per document (boilerplate/spam repeats phrases;
+    filter above a threshold before training).  Pure array expressions
+    (operators/curation.dup_ngram_frac); the oracle recomputes the
+    shingle multisets with list slicing."""
+    from aus_land_data_etl_spark.operators.curation import dup_ngram_frac
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        dup_ngram_frac(F.col("text"), 2).alias("dup2"),
+        dup_ngram_frac(F.col("text"), 3).alias("dup3"),
+    )
+
+
+ORACLE_TEXT_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         REGEXP_SPLIT_TO_ARRAY(
+           TRIM(REGEXP_REPLACE(LOWER(COALESCE(text, '')), '\\s+', ' ', 'g')),
+           ' ') AS tk
+  FROM documents
+),
+sh2 AS (
+  SELECT doc_id,
+         ARRAY_TO_STRING(tk[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' ') AS s
+  FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 1, 0))) AS t(i)
+  WHERE LEN(tk) >= 2 AND ARRAY_TO_STRING(tk, '') <> ''
+),
+sh3 AS (
+  SELECT doc_id,
+         ARRAY_TO_STRING(tk[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS s
+  FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 2, 0))) AS t(i)
+  WHERE LEN(tk) >= 3 AND ARRAY_TO_STRING(tk, '') <> ''
+),
+fr2 AS (
+  SELECT doc_id,
+         CASE WHEN COUNT(*) > 1
+              THEN ROUND(1.0 - COUNT(DISTINCT s) / CAST(COUNT(*) AS DOUBLE), 6)
+              ELSE 0.0 END AS f
+  FROM sh2 GROUP BY doc_id
+),
+fr3 AS (
+  SELECT doc_id,
+         CASE WHEN COUNT(*) > 1
+              THEN ROUND(1.0 - COUNT(DISTINCT s) / CAST(COUNT(*) AS DOUBLE), 6)
+              ELSE 0.0 END AS f
+  FROM sh3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(fr2.f, 0.0) AS dup2,
+       COALESCE(fr3.f, 0.0) AS dup3
+FROM documents d
+LEFT JOIN fr2 ON fr2.doc_id = d.doc_id
+LEFT JOIN fr3 ON fr3.doc_id = d.doc_id
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment for every document —
     hash-bucketed on md5 (NOT xxhash/murmur) so the assignment is
@@ -2751,6 +2810,7 @@ QUERIES: dict[str, QueryFn] = {
     "domain_cap": q_domain_cap,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
+    "text_repetition": q_text_repetition,
     "emb_neardup_cosine": q_emb_neardup_cosine,
     "minhash_dedup": q_minhash_dedup,
     "simhash_candidates": q_simhash_candidates,
@@ -2819,6 +2879,7 @@ ORACLES: dict[str, str] = {
     "domain_cap": ORACLE_DOMAIN_CAP,
     "decontaminate": ORACLE_DECONTAMINATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "text_repetition": ORACLE_TEXT_REPETITION,
     "emb_neardup_cosine": ORACLE_EMB_NEARDUP,
     "t_windowed_rollup": ORACLE_WINDOWED_ROLLUP,
     "sessionize_events": ORACLE_SESSIONIZE,

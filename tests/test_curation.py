@@ -85,3 +85,26 @@ def test_pack_sequences_contiguous_fill_and_oversize(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_dup_ngram_frac_edges(spark):
+    from aus_land_data_etl_spark.operators.curation import dup_ngram_frac
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 2-grams: ab ba ab ba ab -> 2/5 distinct
+            (2, "all words unique here now"),
+            (3, "x"),                 # no 2-grams
+            (4, None),
+            (5, "same same same same"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", dup_ngram_frac(F.col("text"), 2).alias("f")).collect()
+    }
+    assert got[1] == round(1 - 2 / 5, 6)
+    assert got[2] == 0.0
+    assert got[3] == 0.0 and got[4] == 0.0
+    assert got[5] == round(1 - 1 / 3, 6)
