@@ -1185,6 +1185,163 @@ FROM d
 """
 
 
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline composed end-to-end, value-checked as
+    one unit: near-dup graph → connected components → one canonical doc
+    per component (keep-longest) → benchmark decontamination (5-word
+    shingle overlap vs the doc_id%97 eval set) → domain caps (≤3 per
+    doc_id%37 domain, longest first) → deterministic md5 train/val/test
+    split.  Every stage is an already-oracle-green operator; this query
+    pins that they COMPOSE (the oracle chains the same SQL pieces)."""
+    from aus_land_data_etl_spark.functions.sampling import hash_split
+    from aus_land_data_etl_spark.operators.curation import (
+        cap_per_group,
+        decontaminate,
+    )
+    from aus_land_data_etl_spark.operators.graph import neardup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.pmod("doc_id", F.lit(5)) == 0)
+    pairs = jaccard_all_pairs(
+        docs, "doc_id", "text", shingle_n=5, threshold=0.2
+    ).select("id_a", "id_b")
+    comps = neardup_clusters(pairs, docs, id_col="doc_id")
+    scored = comps.join(docs, "doc_id").select(
+        "component",
+        "doc_id",
+        "text",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("len"),
+    )
+    canonical = scored.groupBy("component").agg(
+        F.max_by(
+            F.struct("doc_id", "text", "len"),
+            F.struct(F.col("len"), (-F.col("doc_id")).alias("neg")),
+        ).alias("w")
+    ).select(
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.text").alias("text"),
+        F.col("w.len").alias("len"),
+        "component",
+    )
+    bench = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.pmod("doc_id", F.lit(97)) == 0)
+    clean = decontaminate(
+        canonical.filter(F.pmod("doc_id", F.lit(97)) != 0), bench, n=5
+    )
+    capped = cap_per_group(
+        clean.withColumn("domain", F.pmod("doc_id", F.lit(37)).cast("long")),
+        "domain",
+        order_by=[F.desc("len"), F.asc("doc_id")],
+        max_per_group=3,
+    )
+    out = hash_split(
+        capped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        "domain",
+        F.col("len").cast("long").alias("len"),
+        "split",
+    )
+
+
+# The same pipeline as one SQL chain: components (recursive CTE) →
+# keep-longest canonical → shingle-overlap decontamination → domain
+# caps → md5 split.  Composition is the property under test.
+ORACLE_CORPUS_BUILD = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text,
+         REGEXP_REPLACE(LOWER(COALESCE(text, '')), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id % 5 = 0
+),
+pos AS (
+  SELECT doc_id, t,
+         UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(t) - 4, 0))) AS i
+  FROM docs
+),
+shc AS (SELECT DISTINCT doc_id, SUBSTRING(t, CAST(i AS INT), 5) AS sh FROM pos),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT doc_id AS u, doc_id AS r FROM docs
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+),
+comp AS (SELECT u AS doc_id, MIN(r) AS component FROM reach GROUP BY u),
+canon AS (
+  SELECT component, doc_id, text, len FROM (
+    SELECT c.component, c.doc_id, d.text,
+           LENGTH(COALESCE(d.text, '')) AS len,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.component
+             ORDER BY LENGTH(COALESCE(d.text, '')) DESC, c.doc_id ASC
+           ) AS rn
+    FROM comp c JOIN docs d ON d.doc_id = c.doc_id
+  ) WHERE rn = 1
+),
+wtoks AS (
+  SELECT doc_id,
+         REGEXP_SPLIT_TO_ARRAY(
+           TRIM(REGEXP_REPLACE(LOWER(COALESCE(text, '')), '\\s+', ' ', 'g')),
+           ' ') AS tk
+  FROM documents
+),
+wsh AS (
+  SELECT doc_id, ARRAY_TO_STRING(tk[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS s
+  FROM wtoks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tk) - 4, 0))) AS t(i)
+  WHERE LEN(tk) >= 5 AND ARRAY_TO_STRING(tk, '') <> ''
+),
+benchsh AS (SELECT DISTINCT s FROM wsh WHERE doc_id % 97 = 0),
+dirty AS (
+  SELECT DISTINCT doc_id FROM wsh
+  WHERE s IN (SELECT s FROM benchsh)
+),
+clean AS (
+  SELECT * FROM canon
+  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+),
+capped AS (
+  SELECT doc_id, component, domain, len FROM (
+    SELECT *, doc_id % 37 AS domain,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id % 37 ORDER BY len DESC, doc_id ASC
+           ) AS rn
+    FROM clean
+  ) WHERE rn <= 3
+)
+SELECT doc_id, component, domain, len,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT *,
+         CAST(CONCAT('0x', SUBSTRING(
+           md5(CONCAT(CAST(doc_id AS VARCHAR), '|', 'v1')), 1, 8)
+         ) AS BIGINT) % 1000000 AS b
+  FROM capped
+)
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family repetition signal: fraction of duplicated word
     2-grams and 3-grams per document (boilerplate/spam repeats phrases;
@@ -2811,6 +2968,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "text_repetition": q_text_repetition,
+    "corpus_build": q_corpus_build,
     "emb_neardup_cosine": q_emb_neardup_cosine,
     "minhash_dedup": q_minhash_dedup,
     "simhash_candidates": q_simhash_candidates,
@@ -2880,6 +3038,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "text_repetition": ORACLE_TEXT_REPETITION,
+    "corpus_build": ORACLE_CORPUS_BUILD,
     "emb_neardup_cosine": ORACLE_EMB_NEARDUP,
     "t_windowed_rollup": ORACLE_WINDOWED_ROLLUP,
     "sessionize_events": ORACLE_SESSIONIZE,
