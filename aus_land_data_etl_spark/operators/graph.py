@@ -21,8 +21,14 @@ does not grow with iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import itertools
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+#: Observation names must be unique per SparkSession; a process-wide
+#: counter keeps concurrent/repeated component runs from colliding.
+_obs_ids = itertools.count()
 
 
 def connected_components(
@@ -82,8 +88,16 @@ def connected_components(
                 ).alias("_changed"),
             )
         )
+        # ONE action per round: the convergence probe rides the job that
+        # materialises the checkpoint (observe() metrics fire when the
+        # eager localCheckpoint scans every partition) — no second pass
+        # re-reading the checkpointed frame (round-4 verdict #3).
+        obs = Observation(f"cc_changed_{next(_obs_ids)}")
+        nxt = nxt.observe(
+            obs, F.sum(F.col("_changed").cast("int")).alias("n_changed")
+        )
         nxt = nxt.localCheckpoint(eager=True)  # cut lineage per round
-        changed = nxt.filter(F.col("_changed")).limit(1).count()
+        changed = obs.get["n_changed"] or 0
         labels = nxt.drop("_changed")
         if changed == 0:
             return labels

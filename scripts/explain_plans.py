@@ -222,12 +222,17 @@ def changelog_plan_evidence(spark) -> list[str]:
         "(asserted >= 2: map-side partial combine before the exchange)\n",
         f"- interval bucket pruning: **{len(touched)}/16** buckets read "
         "for a hot-subset interval (asserted strict subset)\n",
-        "- unpruned fallback: an interval spanning a `rebucket` (bucket "
-        "count differs between the snapshots) cannot map buckets across "
-        "layouts, so `changed_buckets` returns None and the diff reads "
-        "BOTH snapshots in full — O(table), once, at the layout boundary; "
-        "correctness across it is pinned by "
-        "`tests/test_changelog.py::test_changelog_across_rebucket_and_expire`\n",
+        "- rebucket boundaries: an interval spanning a k× `rebucket` "
+        "(n_new = k·n_old or the inverse) STILL prunes — "
+        "`changed_bucket_pair` segments the interval at each layout "
+        "boundary (the rebucket commit is content-preserving on the live "
+        "view) and maps changed buckets across it (b ↔ {b, b+n_old, …}); "
+        "both sides read a strict subset, closed under the key↔bucket "
+        "correspondence so no spurious frontier rows appear "
+        "(`tests/test_changelog.py::test_changelog_prunes_across_k_rebucket`). "
+        "The O(table) full diff survives only for non-multiple ratios or "
+        "expired intermediate descriptors "
+        "(`test_changelog_across_rebucket_and_expire` pins that path)\n",
     ]
 
 

@@ -104,9 +104,109 @@ def test_timestamp_hash_parity(spark):
         )
         for _ in range(60)
     ]
+    tz = spark.conf.get("spark.sql.session.timeZone")
     df = spark.createDataFrame(
         [(t,) for t in tss],
         T.StructType([T.StructField("k", T.TimestampType())]),
     ).select(F.hash("k").alias("h"))
     for t, r in zip(tss, df.collect()):
-        assert spark_hash_value(t, T.TimestampType()) == r["h"], t
+        assert spark_hash_value(t, T.TimestampType(), session_tz=tz) == r["h"], t
+
+
+def test_naive_timestamp_hash_honours_session_timezone(spark):
+    """Round-4 ADVICE (medium): Spark interprets a naive timestamp in
+    ``spark.sql.session.timeZone``; the driver-side mirror must apply the
+    SAME zone or key_bucket opens the wrong bucket on non-UTC sessions.
+    Pinned via SQL timestamp literals (defined to parse in the session
+    zone), across a DST boundary, on a zone with a :30 offset."""
+    import datetime as dt
+
+    import pytest
+
+    from aus_land_data_etl_spark.lake.table import bucket_of
+
+    cases = [
+        dt.datetime(2024, 1, 15, 10, 30, 0),       # AEDT (+11)
+        dt.datetime(2024, 7, 15, 10, 30, 0),       # AEST (+10)
+        dt.datetime(2024, 4, 7, 1, 59, 59),        # minute before fallback
+        dt.datetime(2024, 10, 6, 3, 0, 0, 123456), # just after springfwd
+    ]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+    try:
+        for t in cases:
+            lit = t.strftime("%Y-%m-%d %H:%M:%S") + (
+                f".{t.microsecond:06d}" if t.microsecond else ""
+            )
+            h = spark.sql(f"SELECT hash(timestamp'{lit}') AS h").first()["h"]
+            got = spark_hash_value(
+                t, T.TimestampType(), session_tz="Australia/Sydney"
+            )
+            assert got == h, t
+            # and the UTC interpretation must DIFFER (the old bug)
+            assert got != spark_hash_value(
+                t, T.TimestampType(), session_tz="UTC"
+            ), t
+        # without a session zone a naive key must refuse (Spark fallback
+        # in key_bucket), never silently hash as UTC
+        with pytest.raises(TypeError):
+            bucket_of(cases[0], 8, T.TimestampType())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_date_decimal_double_bool_hash_parity(spark):
+    """Driver-side parity for the remaining plausible key types (round-4
+    verdict #8): date (int32 days), decimal ≤18 digits (unscaled long),
+    decimal >18 digits (BigInteger.toByteArray bytes), double/float
+    (IEEE bits, -0.0 normalised), boolean."""
+    import datetime as dt
+    from decimal import Decimal
+
+    rng = random.Random(11)
+    dates = [
+        dt.date(1970, 1, 1),
+        dt.date(1969, 7, 20),
+        dt.date(2400, 2, 29),
+    ] + [
+        dt.date(1970, 1, 1) + dt.timedelta(days=rng.randint(-40000, 40000))
+        for _ in range(120)
+    ]
+    ddf = spark.createDataFrame(
+        [(d,) for d in dates], T.StructType([T.StructField("k", T.DateType())])
+    ).select(F.hash("k").alias("h"))
+    for d, r in zip(dates, ddf.collect()):
+        assert spark_hash_value(d, T.DateType()) == r["h"], d
+
+    small = [Decimal("0.00"), Decimal("-1.50"), Decimal("12345678901234.56")] + [
+        Decimal(rng.randint(-(10**15), 10**15)).scaleb(-2) for _ in range(120)
+    ]
+    t_small = T.DecimalType(18, 2)
+    sdf = spark.createDataFrame(
+        [(d,) for d in small], T.StructType([T.StructField("k", t_small)])
+    ).select(F.hash("k").alias("h"))
+    for d, r in zip(small, sdf.collect()):
+        assert spark_hash_value(d, t_small) == r["h"], d
+
+    wide = [Decimal("0"), Decimal("-0.0000000001")] + [
+        Decimal(rng.randint(-(10**27), 10**27)).scaleb(-10) for _ in range(120)
+    ]
+    t_wide = T.DecimalType(38, 10)
+    wdf = spark.createDataFrame(
+        [(d,) for d in wide], T.StructType([T.StructField("k", t_wide)])
+    ).select(F.hash("k").alias("h"))
+    for d, r in zip(wide, wdf.collect()):
+        assert spark_hash_value(d, t_wide) == r["h"], d
+
+    dbls = [0.0, -0.0, 1.5, -2.25, float("inf"), float("-inf")] + [
+        rng.uniform(-1e18, 1e18) for _ in range(120)
+    ]
+    fdf = spark.createDataFrame(
+        [(v,) for v in dbls], T.StructType([T.StructField("k", T.DoubleType())])
+    ).select(F.hash("k").alias("h"))
+    for v, r in zip(dbls, fdf.collect()):
+        assert spark_hash_value(v, T.DoubleType()) == r["h"], v
+
+    for b in (True, False):
+        h = spark.sql(f"SELECT hash({str(b).lower()}) AS h").first()["h"]
+        assert spark_hash_value(b, T.BooleanType()) == h, b

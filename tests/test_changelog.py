@@ -367,3 +367,74 @@ def test_changelog_patch_table_cell_only_change_not_suppressed(
         epoch=2,
     )
     assert read_changes(t, v_after, t.current_version()).count() == 0
+
+
+def test_changelog_prunes_across_k_rebucket(spark, tmp_table_dir):
+    """Round-4 verdict #5: when n_new = k·n_old, old bucket b maps to
+    {b, b+n_old, …, b+(k−1)·n_old}, so an interval spanning a 16→32
+    rebucket prunes to the changed buckets (strict subset on BOTH
+    sides) instead of the O(table) full diff — with diff values
+    unchanged.  Shrink direction (32→16 inside a later interval) prunes
+    too; the closure property (every key read on one side is read on
+    the other) keeps ride-along keys diffing to zero rows."""
+    from aus_land_data_etl_spark.lake.changelog import changed_bucket_pair
+    from aus_land_data_etl_spark.lake.table import bucket_expr
+
+    t = create_pages_table(spark, tmp_table_dir, n_buckets=16)
+    e0 = [
+        _ev(i, "insert", f"https://a.example.com/{i}", 10, f"u{i} v1")
+        for i in range(1, 41)
+    ]
+    apply_batch(t, _events_df(spark, e0), epoch=0, mode="cow")
+    pre = t.current_version()
+
+    e1 = [
+        _ev(100, "update", "https://a.example.com/7", 20, "u7 v2"),
+        _ev(101, "update", "https://a.example.com/23", 20, "u23 v2"),
+    ]
+    apply_batch(t, _events_df(spark, e1), epoch=1, mode="cow")
+    t.rebucket(32)
+    e2 = [
+        _ev(102, "update", "https://a.example.com/31", 30, "u31 v2"),
+        _ev(103, "insert", "https://a.example.com/99", 30, "u99 v1"),
+    ]
+    apply_batch(t, _events_df(spark, e2), epoch=2, mode="cow")
+    cur = t.current_version()
+
+    frm, to = changed_bucket_pair(t, pre, cur)
+    assert frm is not None and to is not None
+    # strict subsets of both layouts (4 changed keys, ≤4+closure buckets)
+    assert len(frm) < 16 and len(to) < 32
+    # closure: to-space list is exactly the k-expansion of the from list
+    assert set(to) == {b + j * 16 for b in frm for j in (0, 1)}
+    # the from-space list covers the changed keys' old buckets
+    urls = spark.createDataFrame(
+        [(f"https://a.example.com/{i}",) for i in (7, 23, 31, 99)], ["url"]
+    )
+    old_b = {
+        r["b"]
+        for r in urls.select(bucket_expr("url", 16).alias("b")).collect()
+    }
+    assert old_b <= set(frm)
+
+    # and the PRUNED diff equals the expected net changes
+    by = {
+        r["url"].rsplit("/", 1)[1]: r
+        for r in read_changes(t, pre, cur).collect()
+    }
+    assert {u: r["change_type"] for u, r in by.items()} == {
+        "7": "update", "23": "update", "31": "update", "99": "insert",
+    }
+    assert "u31 v2" in by["31"]["text"]
+
+    # shrink direction: a later interval spanning 32→16 prunes as well
+    pre2 = cur
+    t.rebucket(16)
+    e3 = [_ev(104, "update", "https://a.example.com/7", 40, "u7 v3")]
+    apply_batch(t, _events_df(spark, e3), epoch=3, mode="cow")
+    cur2 = t.current_version()
+    frm2, to2 = changed_bucket_pair(t, pre2, cur2)
+    assert frm2 is not None and len(frm2) < 32 and len(to2) < 16
+    assert {r["change_type"] for r in read_changes(t, pre2, cur2).collect()} == {
+        "update"
+    }

