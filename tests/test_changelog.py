@@ -438,3 +438,59 @@ def test_changelog_prunes_across_k_rebucket(spark, tmp_table_dir):
     assert {r["change_type"] for r in read_changes(t, pre2, cur2).collect()} == {
         "update"
     }
+
+
+def test_changelog_rebucket_pruning_differential(spark, tmp_table_dir, monkeypatch):
+    """Randomized differential: across seeded random epochs with a
+    rebucket (grow 2×/4× or shrink) at a random position inside the
+    interval, the PRUNED diff must equal the UNPRUNED diff (pruning
+    forced off by stubbing changed_bucket_pair) row for row — pruning
+    is an optimisation, never a semantics change."""
+    import random as _random
+
+    from aus_land_data_etl_spark.lake import changelog as cl
+
+    rng = _random.Random(41)
+    t = create_pages_table(spark, tmp_table_dir, n_buckets=8)
+    urls = [f"https://a.example.com/{i}" for i in range(30)]
+    eid = 0
+
+    def batch(epoch, n_ops):
+        nonlocal eid
+        rows = []
+        for _ in range(n_ops):
+            eid += 1
+            op = rng.choice(["insert", "update", "update", "delete"])
+            u = rng.choice(urls)
+            ts = rng.randint(1, 50)
+            rows.append(_ev(eid, op, u, ts, None if op == "delete" else f"b{eid}"))
+        apply_batch(
+            t, _events_df(spark, rows), epoch=epoch,
+            mode=rng.choice(["mor", "cow"]),
+        )
+
+    batch(0, 12)
+    pre = t.current_version()
+    batch(1, 6)
+    t.rebucket(rng.choice([16, 32]))
+    batch(2, 6)
+    t.rebucket(4)  # second boundary: shrink below the original
+    batch(3, 6)
+    cur = t.current_version()
+
+    frm, to = cl.changed_bucket_pair(t, pre, cur)
+    assert frm is not None and to is not None  # multiple ratios → pruned
+
+    def rows_of(df):
+        return sorted(
+            (r["change_type"], r["url"], str(r["warc_ts"]), r["event_id"])
+            for r in df.collect()
+        )
+
+    pruned = rows_of(read_changes(t, pre, cur))
+    monkeypatch.setattr(
+        cl, "changed_bucket_pair", lambda *a, **k: (None, None)
+    )
+    full = rows_of(read_changes(t, pre, cur))
+    monkeypatch.undo()
+    assert pruned == full and len(full) > 0
