@@ -870,6 +870,52 @@ class LakeTable:
             columns=columns,
         ).filter(F.col(snap.key_col) == F.lit(key))
 
+    def lookup_many(
+        self,
+        keys: list,
+        version: int | None = None,
+        tiebreak_col: str = "event_id",
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Batched point lookup: current LWW rows for a set of keys in ONE
+        Spark job (the feature-store / serving-batch read pattern).
+
+        Buckets are computed driver-side for every key (``bucket_of``),
+        so the scan opens only ``|{bucket(k)}|`` of ``n_buckets`` buckets
+        — O(table · distinct_buckets / n_buckets) regardless of table
+        size — and the key IN-list is pushed into the scan (parquet
+        bloom filters on the key column skip row groups within the kept
+        files).  If ANY key's type falls outside the driver-side mirror,
+        all buckets are resolved in one auxiliary Spark job (a
+        ``len(keys)``-row local frame — bounded), never one job per key.
+        """
+        if not keys:
+            raise ValueError("lookup_many needs at least one key")
+        snap = self.snapshot(version)
+        dtype = snap.schema[snap.key_col].dataType
+        tz = self.spark.conf.get("spark.sql.session.timeZone", None)
+        try:
+            buckets = sorted(
+                {bucket_of(k, snap.n_buckets, dtype, session_tz=tz) for k in keys}
+            )
+        except TypeError:
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in keys],
+                T.StructType([T.StructField("k", dtype)]),
+            )
+            buckets = sorted(
+                r["b"]
+                for r in kdf.select(
+                    F.pmod(F.hash("k"), F.lit(snap.n_buckets)).cast("int").alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+        return self.read_resolved(
+            version=version, buckets=buckets, tiebreak_col=tiebreak_col,
+            columns=columns,
+        ).filter(F.col(snap.key_col).isin(list(keys)))
+
     # -- write -------------------------------------------------------------
     def _write_snapshot(self, snap: Snapshot) -> None:
         path = self._snap_path(snap.version)

@@ -45,6 +45,7 @@ PLAN_QUERIES = [
     "text_grammar_extract",     # structured regexp grammar
     "text_parcel_expand",       # parcel-list window-function expansion
     "j7_asof_attribution",      # as-of join: ONE exchange, no range explosion
+    "pack_sequences_bucketed",  # parallel packing: per-bucket windows
 ]
 
 
@@ -460,6 +461,27 @@ def patch_plan_evidence(spark) -> list[str]:
     ]
 
 
+def packing_plan_evidence(spark, sf_dir) -> list[str]:
+    """Parallel-packing plan fact: the bucketed variant must have NO
+    SinglePartition exchange — the window partitions by the md5 hash
+    bucket (the global variant's one-task ordering is the documented
+    exact-dataloader semantic, not the scale path)."""
+    from aus_land_data_etl_spark.plans.driver_queries import QUERIES
+
+    plan = formatted_plan(QUERIES["pack_sequences_bucketed"](spark, sf_dir))
+    assert "SinglePartition" not in plan, "bucketed packing lost its parallelism"
+    n_hash = len(re.findall(r"hashpartitioning\(pack_bucket", plan))
+    assert n_hash >= 1, "window must partition by the pack bucket"
+    return [
+        "\n## pack_sequences_bucketed — parallel packing (scale path)\n",
+        "- SinglePartition exchanges: **0** (asserted — the running-sum "
+        "window partitions by the md5 pack bucket; contrast "
+        "`pack_sequences`, the exact-dataloader global ordering)\n",
+        f"- hashpartitioning(pack_bucket) exchanges: **{n_hash}** — one "
+        "shuffle, then n_buckets independent running sums\n",
+    ]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
@@ -496,6 +518,7 @@ def main() -> None:
             f"\n## {name}\n\n"
             f"- ReadSchema (column pruning): `{'; '.join(d['read_schemas'])[:300]}`\n"
         )
+    details.extend(packing_plan_evidence(spark, sf_dir))
     details.extend(cdc_plan_evidence(spark))
     details.extend(patch_plan_evidence(spark))
     details.extend(changelog_plan_evidence(spark))

@@ -210,3 +210,31 @@ def test_date_decimal_double_bool_hash_parity(spark):
     for b in (True, False):
         h = spark.sql(f"SELECT hash({str(b).lower()}) AS h").first()["h"]
         assert spark_hash_value(b, T.BooleanType()) == h, b
+
+
+def test_lookup_many_one_job_and_parity(spark, tmp_table_dir):
+    """Batched point lookup: k keys resolve in ONE Spark job over the
+    union of their (driver-side-computed) buckets, and the result equals
+    the union of per-key lookup() rows."""
+    t = create_pages_table(spark, tmp_table_dir, n_buckets=8)
+    ev = generate_events(spark, 800, seed=17)
+    apply_batch(t, ev, epoch=0, mode="cow")
+    keys = [r["url"] for r in ev.select("url").distinct().limit(6).collect()]
+
+    sc = spark.sparkContext
+    group = "lookup-many-one-job"
+    sc.setJobGroup(group, "batched point lookup job count")
+    try:
+        rows = t.lookup_many(keys).collect()
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    finally:
+        sc.setJobGroup("", "")
+    assert n_jobs == 1, f"lookup_many launched {n_jobs} jobs, expected 1"
+    got = {(r["url"], r["warc_ts"], r["event_id"]) for r in rows}
+    exp = set()
+    for k in keys:
+        exp |= {
+            (r["url"], r["warc_ts"], r["event_id"])
+            for r in t.lookup(k).collect()
+        }
+    assert got == exp and len(got) >= len(keys) - 1  # tombstones may drop keys
