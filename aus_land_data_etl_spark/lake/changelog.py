@@ -147,6 +147,12 @@ def changed_bucket_pair(
     if a.n_buckets == b.n_buckets:
         s = changed_buckets(table, from_version, to_version)
         return s, s
+    if from_version > to_version:
+        # inverted interval (read_changes(v_to, v_from) inverts a diff):
+        # the changed KEY set is direction-symmetric, so compute on the
+        # ascending interval and swap the per-side lists back
+        t_side, f_side = changed_bucket_pair(table, to_version, from_version)
+        return f_side, t_side
     try:
         snaps = [
             table.snapshot(v) for v in range(from_version, to_version + 1)

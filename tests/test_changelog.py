@@ -427,6 +427,20 @@ def test_changelog_prunes_across_k_rebucket(spark, tmp_table_dir):
     }
     assert "u31 v2" in by["31"]["text"]
 
+    # inverted interval across the rebucket (read_changes(v_to, v_from)
+    # inverts a diff): per-side lists swap, never an IndexError
+    frm_i, to_i = changed_bucket_pair(t, cur, pre)
+    assert (frm_i, to_i) == (to, frm)
+    inv = {
+        (r["url"], r["change_type"])
+        for r in read_changes(t, cur, pre).select("url", "change_type").collect()
+    }
+    flip = {"insert": "delete", "delete": "insert", "update": "update"}
+    assert inv == {
+        (r["url"], flip[r["change_type"]])
+        for r in read_changes(t, pre, cur).select("url", "change_type").collect()
+    }
+
     # shrink direction: a later interval spanning 32→16 prunes as well
     pre2 = cur
     t.rebucket(16)
