@@ -459,6 +459,37 @@ class IvfIndex:
 
         return self.spark.read.parquet(os.path.join(self.root, "cells"))
 
+    def add(self, vectors: DataFrame, vec_col: str = "embedding") -> None:
+        """Incrementally index new vectors WITHOUT retraining: assign each
+        to its nearest existing centroid and append to that cell's
+        partition directory — O(new vectors), the index stays serveable
+        throughout, and ``search`` sees old ∪ new immediately.
+
+        This is standard IVF maintenance (the coarse quantizer is kept
+        until the distribution drifts, then ``build`` re-trains): the
+        centroids are frozen, so recall for the NEW vectors matches what
+        re-assignment under the same centroids would give — and a
+        full-probe search stays exactly the brute-force top-k over the
+        grown corpus (test-pinned).  Idempotence is the FEEDER's
+        contract: drive ``add`` from an exactly-once change feed (e.g.
+        ``ChangelogSubscription`` net inserts) — a replayed ``add``
+        appends duplicate rows, exactly like any blind file append.
+        """
+        import os
+
+        assign = _cell_assign_udf(self.spark, self.centroids)
+        indexed = (
+            vectors.select(
+                F.col(self.id_col).alias("neighbour_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            )
+            .filter(F.col("cv").isNotNull())
+            .withColumn("cell", assign(F.col("cv")))
+        )
+        indexed.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(self.root, "cells")
+        )
+
     def search(
         self,
         queries: DataFrame,

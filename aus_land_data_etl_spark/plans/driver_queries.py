@@ -1686,6 +1686,31 @@ def q_emb_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_emb_topk_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE: build on half the corpus, ``add`` the other
+    half incrementally (frozen quantizer, O(new) cell-partitioned
+    appends — the CDC-composable shape: a changelog feed keeps the index
+    current without rebuilds).  Full probe makes the search exhaustive
+    over old ∪ new, so the grown index shares the brute-force DuckDB
+    oracle over the WHOLE corpus — a missing/mis-assigned added vector
+    cannot pass."""
+    from aus_land_data_etl_spark.operators.similarity import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    d = tempfile.mkdtemp(prefix="ivf_inc_")
+    try:
+        IvfIndex.build(emb.filter(F.pmod("vec_id", F.lit(2)) == 0), d, n_cells=8, seed=42)
+        idx = IvfIndex(spark, d)
+        idx.add(emb.filter(F.pmod("vec_id", F.lit(2)) == 1))
+        out = idx.search(queries, k=5, nprobe=8).select(
+            "query_id", "neighbour_id", "rank", "cosine_sim"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_minhash_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -3060,6 +3085,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- (b) round-5 additions ---
     "pack_sequences_bucketed": q_pack_sequences_bucketed,
     "corpus_build_lsh": q_corpus_build_lsh,
+    "emb_topk_ivf_incremental": q_emb_topk_ivf_incremental,
     # --- (c) green in r04 ---
     "cdc_engine_converge": q_cdc_engine_converge,
     "cdc_schema_evolution_converge": q_cdc_schema_evolution_converge,
@@ -3140,6 +3166,7 @@ ORACLES: dict[str, str] = {
     "emb_topk_bruteforce": ORACLE_EMB_TOPK,
     "emb_topk_ivf_fullprobe": ORACLE_EMB_TOPK,
     "emb_topk_ivf_indexed": ORACLE_EMB_TOPK,
+    "emb_topk_ivf_incremental": ORACLE_EMB_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "derive_change_history": ORACLE_CHANGE_HISTORY,

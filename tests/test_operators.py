@@ -441,3 +441,42 @@ def test_ivf_index_persist_search_and_prune(spark, tmp_path):
     }
     e = {(r[0], r[1]) for r in exact}
     assert len(a & e) / len(e) >= 0.8
+
+
+def test_ivf_index_incremental_add(spark, tmp_path):
+    """IvfIndex.add: vectors indexed AFTER the build (frozen quantizer,
+    cell-partitioned appends) are served identically to a from-scratch
+    exhaustive search — full probe over the grown index equals brute
+    force over the WHOLE corpus, and the appended rows land inside the
+    existing cell directories (partition layout preserved)."""
+    from aus_land_data_etl_spark.operators.similarity import (
+        IvfIndex,
+        cosine_topk_bruteforce,
+    )
+
+    df = _clustered_vectors(spark)
+    half = df.filter(F.pmod("vec_id", F.lit(2)) == 0)
+    rest = df.filter(F.pmod("vec_id", F.lit(2)) == 1)
+    q = df.filter(F.col("vec_id") < 10)
+    root = str(tmp_path / "ivf_inc")
+    idx = IvfIndex.build(half, root, n_cells=6, seed=42)
+    n_before = idx.cells().count()
+    idx.add(rest)
+    assert idx.cells().count() == df.count() > n_before
+
+    cols = ["query_id", "neighbour_id", "rank", "cosine_sim"]
+    exact = sorted(
+        map(tuple, cosine_topk_bruteforce(df, q, k=3).select(*cols).collect())
+    )
+    grown = sorted(
+        map(tuple, idx.search(q, k=3, nprobe=6).select(*cols).collect())
+    )
+    assert grown == exact
+    # the add wrote INTO the cell-partitioned layout (no new top levels)
+    import os
+
+    tops = sorted(
+        e for e in os.listdir(os.path.join(root, "cells"))
+        if not e.startswith("_") and not e.startswith(".")
+    )
+    assert all(e.startswith("cell=") for e in tops), tops
