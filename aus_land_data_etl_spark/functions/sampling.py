@@ -85,3 +85,39 @@ def hash_sample(
     return df.filter(
         split_bucket(key_col, salt) < F.lit(int(round(fraction * _PPM)))
     )
+
+
+def hash_sample_by(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fractions: dict,
+    default: float = 0.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep ~``fractions[group]`` of
+    each group's rows by key hash (``sampleBy``'s semantics, but
+    reproducible across runs, partitionings, engines, and incremental
+    arrivals — the domain-mixing / temperature-sampling op of a
+    pretraining data build, where each source domain is up- or
+    down-weighted to its target share).  Groups absent from
+    ``fractions`` keep ``default`` (0 = dropped).  One filter, no
+    shuffle, no UDF; the plan stays a single scan + filter.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0,1], got {f}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0,1], got {default}")
+    bucket = split_bucket(key_col, salt)
+    thr = None
+    for g, f in fractions.items():
+        cond = F.col(group_col) == F.lit(g)
+        lit = F.lit(int(round(f * _PPM)))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = (
+        F.lit(int(round(default * _PPM)))
+        if thr is None
+        else thr.otherwise(F.lit(int(round(default * _PPM))))
+    )
+    return df.filter(bucket < thr)

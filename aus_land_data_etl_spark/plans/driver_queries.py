@@ -1537,6 +1537,48 @@ FROM b
 """
 
 
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing (temperature sampling): keep a per-domain target
+    fraction of documents — up-weighting scarce, high-quality domains
+    and down-weighting boilerplate-heavy ones is how pretraining mixes
+    are tuned.  Deterministic md5 stratified sampling
+    (functions/sampling.hash_sample_by): same keys kept on every run,
+    partitioning, and engine; no shuffle, no UDF, one scan + filter.
+    Domains here are doc_id%5; fractions 1.0/0.5/0.25/0.1 with a 0.02
+    default for the unlisted stratum."""
+    from aus_land_data_etl_spark.functions.sampling import hash_sample_by
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.pmod("doc_id", F.lit(5)).cast("long").alias("domain"),
+    )
+    out = hash_sample_by(
+        docs,
+        "doc_id",
+        "domain",
+        {0: 1.0, 1: 0.5, 2: 0.25, 3: 0.1},
+        default=0.02,
+        salt="mix",
+    )
+    return out.select("doc_id", "domain")
+
+
+ORACLE_DOMAIN_MIX = """
+WITH b AS (
+  SELECT doc_id, doc_id % 5 AS domain,
+         CAST(CONCAT('0x', SUBSTRING(
+           md5(CONCAT(CAST(doc_id AS VARCHAR), '|', 'mix')), 1, 8)
+         ) AS BIGINT) % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, domain
+FROM b
+WHERE bucket < CASE domain
+  WHEN 0 THEN 1000000 WHEN 1 THEN 500000
+  WHEN 2 THEN 250000 WHEN 3 THEN 100000 ELSE 20000 END
+"""
+
+
 def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production dedup flow composed end-to-end: near-dup graph
     → connected components → ONE canonical document kept per component
@@ -3086,6 +3128,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences_bucketed": q_pack_sequences_bucketed,
     "corpus_build_lsh": q_corpus_build_lsh,
     "emb_topk_ivf_incremental": q_emb_topk_ivf_incremental,
+    "domain_mix_sample": q_domain_mix_sample,
     # --- (c) green in r04 ---
     "cdc_engine_converge": q_cdc_engine_converge,
     "cdc_schema_evolution_converge": q_cdc_schema_evolution_converge,
@@ -3174,6 +3217,7 @@ ORACLES: dict[str, str] = {
     "neardup_components": ORACLE_NEARDUP_COMPONENTS,
     "neardup_canonical": ORACLE_NEARDUP_CANONICAL,
     "dataset_split": ORACLE_DATASET_SPLIT,
+    "domain_mix_sample": ORACLE_DOMAIN_MIX,
     "domain_cap": ORACLE_DOMAIN_CAP,
     "decontaminate": ORACLE_DECONTAMINATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,

@@ -158,3 +158,39 @@ def test_pack_sequences_bucketed_semantics_and_plan(spark):
         for r in rs:
             assert r["bin_id"] == (run // 256) * 8 + b
             run += r["n"]
+
+
+def test_hash_sample_by_deterministic_stratified(spark):
+    """Per-group deterministic sampling: exact key sets per stratum are
+    reproducible under repartition and incremental arrival (a key's
+    fate never changes when more data lands), rates track the targets,
+    and the default stratum keeps ~default."""
+    from aus_land_data_etl_spark.functions.sampling import hash_sample_by
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), F.pmod("id", F.lit(4)).alias("g")
+    )
+    fr = {0: 1.0, 1: 0.5, 2: 0.1}
+    kept = hash_sample_by(df, "k", "g", fr, default=0.0).collect()
+    by_g = {}
+    for r in kept:
+        by_g.setdefault(r["g"], set()).add(r["k"])
+    assert 3 not in by_g  # default 0 -> dropped stratum
+    assert len(by_g[0]) == 5000
+    assert abs(len(by_g[1]) / 5000 - 0.5) < 0.05
+    assert abs(len(by_g[2]) / 5000 - 0.1) < 0.03
+    # repartition + subset stability
+    again = {
+        (r["k"], r["g"])
+        for r in hash_sample_by(
+            df.repartition(13), "k", "g", fr, default=0.0
+        ).collect()
+    }
+    assert again == {(r["k"], r["g"]) for r in kept}
+    sub = {
+        r["k"]
+        for r in hash_sample_by(
+            df.filter(F.col("k") < 1000), "k", "g", fr, default=0.0
+        ).collect()
+    }
+    assert sub == {k for g in by_g.values() for k in g if k < 1000}
