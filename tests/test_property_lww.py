@@ -95,7 +95,14 @@ def event_logs(draw, with_patches: bool = False):
     n_batches = draw(st.integers(min_value=1, max_value=3))
     modes = [draw(st.sampled_from(["mor", "cow"])) for _ in range(n_batches)]
     wal = offset_mode == "unique" and draw(st.booleans())
-    return order, n_batches, modes, offset_mode, wal
+    # random MAINTENANCE interleavings between batches: a fold or a
+    # bucket-count change must never alter the resolved state — the
+    # round-4 bug class was exactly a mode/maintenance interleaving
+    maint = [
+        draw(st.sampled_from([None, None, "fold", "rebucket4", "rebucket1"]))
+        for _ in range(n_batches)
+    ]
+    return order, n_batches, modes, offset_mode, wal, maint
 
 
 def python_oracle(events):
@@ -194,14 +201,26 @@ def to_patch_rows(events):
     return rows
 
 
+def _do_maint(table, op):
+    """Between-batch maintenance: state-preserving by contract."""
+    from aus_land_data_etl_spark.lake.merge import fold_deltas
+
+    if op == "fold":
+        fold_deltas(table, "event_id")
+    elif op and op.startswith("rebucket"):
+        table.rebucket(int(op[len("rebucket"):]))
+
+
 def _run_row_log(spark, tmp_path_factory, log):
-    events, n_batches, modes, _offset_mode, wal = log
+    events, n_batches, modes, _offset_mode, wal, *rest = log
+    maint = rest[0] if rest else [None] * n_batches
     d = str(tmp_path_factory.mktemp("prop"))
     table = create_pages_table(spark, d, n_buckets=2)
     df = spark.createDataFrame(to_rows(events), EVENT_SCHEMA)
     for i in range(n_batches):
         batch = df.filter(F.pmod(F.xxhash64("event_id"), F.lit(n_batches)) == i)
         apply_batch(table, batch, epoch=i, mode=modes[i], wal_offsets=wal)
+        _do_maint(table, maint[i])
     got = {
         r["url"]: ((r["warc_ts"] - BASE).total_seconds(), r["event_id"])
         for r in read_current(table).collect()
@@ -210,13 +229,15 @@ def _run_row_log(spark, tmp_path_factory, log):
 
 
 def _run_patch_log(spark, tmp_path_factory, log):
-    events, n_batches, modes, _offset_mode, wal = log
+    events, n_batches, modes, _offset_mode, wal, *rest = log
+    maint = rest[0] if rest else [None] * n_batches
     d = str(tmp_path_factory.mktemp("propp"))
     table = create_pages_table(spark, d, n_buckets=2)
     df = spark.createDataFrame(to_patch_rows(events), PATCH_EVENT_SCHEMA)
     for i in range(n_batches):
         batch = df.filter(F.pmod(F.xxhash64("event_id"), F.lit(n_batches)) == i)
         apply_patch_batch(table, batch, epoch=i, mode=modes[i], wal_offsets=wal)
+        _do_maint(table, maint[i])
     got = {
         r["url"]: (
             (r["warc_ts"] - BASE).total_seconds(),
