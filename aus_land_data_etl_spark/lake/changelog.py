@@ -153,32 +153,51 @@ def changed_bucket_pair(
         # ascending interval and swap the per-side lists back
         t_side, f_side = changed_bucket_pair(table, to_version, from_version)
         return f_side, t_side
+    # Binary-search the layout boundaries instead of loading every
+    # intermediate descriptor: O(boundaries · log interval) snapshot
+    # reads, so a subscription catching up across a rebucket over a
+    # 10k-commit interval costs ~a dozen descriptor loads, not 10k.
+    # Equal-n_buckets endpoints assume no boundary inside — a hidden
+    # there-and-back rebucket (k×, then back) only degrades PRUNING for
+    # that segment (its endpoint file-diff then covers every bucket,
+    # since the rebucket rewrote all files), never soundness.
+    nb_cache: dict[int, int] = {from_version: a.n_buckets, to_version: b.n_buckets}
+
+    def _nb(v: int) -> int:
+        n = nb_cache.get(v)
+        if n is None:
+            n = table.snapshot(v).n_buckets
+            nb_cache[v] = n
+        return n
+
+    def _boundaries(lo: int, hi: int) -> list[int]:
+        if _nb(lo) == _nb(hi):
+            return []
+        if hi == lo + 1:
+            return [hi]
+        mid = (lo + hi) // 2
+        return _boundaries(lo, mid) + _boundaries(mid, hi)
+
+    acc: set[int] = set()
     try:
-        snaps = [
-            table.snapshot(v) for v in range(from_version, to_version + 1)
-        ]
+        bnds = _boundaries(from_version, to_version)
+        seg_start = from_version
+        for bd in bnds:
+            seg_end = bd - 1
+            if seg_end > seg_start:
+                acc |= set(changed_buckets(table, seg_start, seg_end))
+            mapped = _map_buckets(acc, _nb(seg_end), _nb(bd))
+            if mapped is None:
+                return None, None
+            acc = mapped
+            seg_start = bd
+        if to_version > seg_start:
+            acc |= set(changed_buckets(table, seg_start, to_version))
     except FileNotFoundError:
         # an intermediate descriptor was expired: cannot segment — the
         # ENDPOINTS are retained (snapshot() above succeeded), so the
         # unpruned diff is still exact
         return None, None
-    acc: set[int] = set()
-    cur_n = snaps[0].n_buckets
-    seg_start = from_version
-    for i in range(1, len(snaps)):
-        if snaps[i].n_buckets == cur_n:
-            continue
-        seg_end = from_version + i - 1
-        if seg_end > seg_start:
-            acc |= set(changed_buckets(table, seg_start, seg_end))
-        mapped = _map_buckets(acc, cur_n, snaps[i].n_buckets)
-        if mapped is None:
-            return None, None
-        acc = mapped
-        cur_n = snaps[i].n_buckets
-        seg_start = from_version + i
-    if to_version > seg_start:
-        acc |= set(changed_buckets(table, seg_start, to_version))
     # acc is now in the to-space; derive the from-space list and re-close
     # the to-space list so the two sides read the SAME key set
     n_from, n_to = a.n_buckets, b.n_buckets

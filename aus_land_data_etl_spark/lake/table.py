@@ -308,13 +308,22 @@ def spark_hash_value(key, dtype: T.DataType, session_tz: str | None = None) -> i
     if isinstance(dtype, T.DecimalType):
         import decimal as _dec
 
-        # exact unscaled integer at the COLUMN's scale (Decimal.scaleb
-        # then quantize-to-integral raises on inexact by default via
-        # to_integral_exact under a strict context; a key that doesn't
-        # fit the column scale can't equal any stored value anyway)
-        unscaled = int(
-            _dec.Decimal(key).scaleb(dtype.scale).to_integral_exact()
-        )
+        # exact unscaled integer at the COLUMN's scale.  Inexact is
+        # TRAPPED: a key with more fractional digits than the scale
+        # cannot equal any stored value — raise TypeError so key_bucket
+        # falls back to the Spark evaluation (whose filter then matches
+        # nothing) instead of silently half-even-rounding to a
+        # plausible-but-wrong bucket.
+        try:
+            with _dec.localcontext() as ctx:
+                ctx.traps[_dec.Inexact] = True
+                unscaled = int(
+                    _dec.Decimal(key).scaleb(dtype.scale).to_integral_exact()
+                )
+        except _dec.Inexact:
+            raise TypeError(
+                f"decimal key {key} does not fit scale {dtype.scale}"
+            ) from None
         if dtype.precision <= 18:
             # fits a long: Spark hashes the unscaled long
             return murmur3_long(unscaled)
@@ -824,6 +833,7 @@ class LakeTable:
         answer can never silently drift.
         """
         snap = self.snapshot(version)
+        key = self._normalize_key(key)
         try:
             return bucket_of(
                 key,
@@ -864,11 +874,35 @@ class LakeTable:
         hash bucketing gives every file the full key range.
         """
         snap = self.snapshot(version)
+        key = self._normalize_key(key)
         b = self.key_bucket(key, version)
         return self.read_resolved(
             version=version, buckets=[b], tiebreak_col=tiebreak_col,
             columns=columns,
         ).filter(F.col(snap.key_col) == F.lit(key))
+
+    def _normalize_key(self, key):
+        """Interpret a NAIVE datetime key in the SESSION time zone — the
+        rule SQL timestamp literals follow — by making it aware ONCE, at
+        the API boundary, so the driver-side bucket hash and the row
+        filter agree on the instant.  Left naive, the two diverge
+        whenever the session zone differs from the OS zone: ``F.lit`` /
+        ``isin`` convert naive datetimes through py4j's converter, which
+        uses ``time.mktime`` (the OS zone), while the hash would use the
+        session zone — the filter would then scan the right bucket for
+        the wrong instant or vice versa.  Aware datetimes convert
+        unambiguously on every path (``calendar.timegm`` of the UTC
+        tuple), so normalising here makes bucket choice and equality
+        filter consistent by construction."""
+        import datetime as _dt
+
+        if isinstance(key, _dt.datetime) and key.tzinfo is None:
+            tz = self.spark.conf.get("spark.sql.session.timeZone", None)
+            if tz:
+                from zoneinfo import ZoneInfo
+
+                return key.replace(tzinfo=ZoneInfo(tz))
+        return key
 
     def lookup_many(
         self,
@@ -894,6 +928,7 @@ class LakeTable:
         snap = self.snapshot(version)
         dtype = snap.schema[snap.key_col].dataType
         tz = self.spark.conf.get("spark.sql.session.timeZone", None)
+        keys = [self._normalize_key(k) for k in keys]
         try:
             buckets = sorted(
                 {bucket_of(k, snap.n_buckets, dtype, session_tz=tz) for k in keys}
@@ -1165,6 +1200,13 @@ class LakeTable:
                 # delta losing _set_cols replays as full images).  The
                 # caller must align its frame to the prior schema first
                 # (merge._align_to), as fold_deltas/merge_patch_into do.
+                # Deliberately conservative: the check is on snapshot
+                # schema names, not per-file schemas, so dropping a
+                # column added AFTER old deltas were written also trips
+                # it — column drops require a full fold first (the same
+                # rewrite-before-drop discipline as Iceberg), which is
+                # the safe default for an operation this engine never
+                # performs implicitly.
                 dropped = {f.name for f in snap.schema.fields} - {
                     f.name for f in schema.fields
                 }

@@ -409,6 +409,23 @@ class IvfIndex:
         self.id_col: str = meta["id_col"]
         self.n_cells: int = meta["n_cells"]
 
+    @staticmethod
+    def _assign_cells(
+        df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+    ) -> DataFrame:
+        """The cells-layout projection shared by build and add: columns
+        (neighbour_id, cv, cell) — ONE definition so the two write paths
+        cannot drift schema-divergent files into the same directory."""
+        assign = _cell_assign_udf(df.sparkSession, centroids)
+        return (
+            df.select(
+                F.col(id_col).alias("neighbour_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            )
+            .filter(F.col("cv").isNotNull())
+            .withColumn("cell", assign(F.col("cv")))
+        )
+
     @classmethod
     def build(
         cls,
@@ -427,15 +444,7 @@ class IvfIndex:
             corpus, id_col, vec_col, n_cells=n_cells, n_iters=n_iters, seed=seed
         )
         spark = corpus.sparkSession
-        assign = _cell_assign_udf(spark, centroids)
-        indexed = (
-            corpus.select(
-                F.col(id_col).alias("neighbour_id"),
-                F.col(vec_col).cast("array<double>").alias("cv"),
-            )
-            .filter(F.col("cv").isNotNull())
-            .withColumn("cell", assign(F.col("cv")))
-        )
+        indexed = cls._assign_cells(corpus, id_col, vec_col, centroids)
         indexed.write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(root, "cells")
         )
@@ -477,15 +486,7 @@ class IvfIndex:
         """
         import os
 
-        assign = _cell_assign_udf(self.spark, self.centroids)
-        indexed = (
-            vectors.select(
-                F.col(self.id_col).alias("neighbour_id"),
-                F.col(vec_col).cast("array<double>").alias("cv"),
-            )
-            .filter(F.col("cv").isNotNull())
-            .withColumn("cell", assign(F.col("cv")))
-        )
+        indexed = self._assign_cells(vectors, self.id_col, vec_col, self.centroids)
         indexed.write.mode("append").partitionBy("cell").parquet(
             os.path.join(self.root, "cells")
         )

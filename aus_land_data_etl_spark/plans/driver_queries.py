@@ -1337,18 +1337,19 @@ def q_corpus_build_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _corpus_docs(spark, sf_dir)
+    # eager checkpoint, not persist: the result is consumed lazily after
+    # this function returns, and ngram_jaccard references the candidate
+    # set three times per evaluation — a persist released in a finally
+    # would be a no-op and the LSH pipeline would recompute per reference
     cands = minhash_lsh_candidates(
         docs, "doc_id", "text", k=64, n_bands=64, shingle_n=5
-    ).persist()
-    try:
-        pairs = (
-            ngram_jaccard(docs, cands, "doc_id", "text", shingle_n=5)
-            .filter(F.col("jaccard") >= 0.2)
-            .select("id_a", "id_b")
-        )
-        return _corpus_build_downstream(spark, sf_dir, docs, pairs)
-    finally:
-        cands.unpersist(blocking=False)
+    ).localCheckpoint(eager=True)
+    pairs = (
+        ngram_jaccard(docs, cands, "doc_id", "text", shingle_n=5)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b")
+    )
+    return _corpus_build_downstream(spark, sf_dir, docs, pairs)
 
 
 # The same pipeline as one SQL chain: components (recursive CTE) →

@@ -238,3 +238,62 @@ def test_lookup_many_one_job_and_parity(spark, tmp_table_dir):
             for r in t.lookup(k).collect()
         }
     assert got == exp and len(got) >= len(keys) - 1  # tombstones may drop keys
+
+
+def test_lookup_naive_timestamp_key_non_utc_session(spark, tmp_table_dir):
+    """A naive datetime key on a non-UTC session is interpreted in the
+    SESSION zone for BOTH the bucket choice and the row filter — the key
+    is normalised to an aware instant once at the API boundary
+    (LakeTable._normalize_key).  Left naive, F.lit/py4j would convert it
+    in the OS zone while the driver hash used the session zone: right
+    bucket, wrong instant, silently empty result."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    from aus_land_data_etl_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("ts_key", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("event_id", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, tmp_table_dir, schema=schema, key_col="ts_key",
+        version_col="v", n_buckets=8,
+    )
+    base = dt.datetime(2024, 1, 15, 10, 30, tzinfo=ZoneInfo("Australia/Sydney"))
+    rows = [(base + dt.timedelta(hours=i), i, f"e{i}") for i in range(16)]
+    t.overwrite(spark.createDataFrame(rows, schema))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+    try:
+        for i in (0, 7, 15):
+            # the Sydney wall clock of the stored instant, as a naive key
+            naive = (base + dt.timedelta(hours=i)).replace(tzinfo=None)
+            got = t.lookup(naive, tiebreak_col="event_id").collect()
+            assert len(got) == 1 and got[0]["v"] == i, (i, got)
+        many = t.lookup_many(
+            [(base + dt.timedelta(hours=i)).replace(tzinfo=None) for i in (1, 2, 3)],
+            tiebreak_col="event_id",
+        ).collect()
+        assert sorted(r["v"] for r in many) == [1, 2, 3]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_decimal_key_inexact_scale_refuses(spark):
+    """A decimal key with more fractional digits than the column scale
+    cannot equal any stored value: the driver hash raises TypeError
+    (key_bucket then falls back to the Spark evaluation, whose filter
+    matches nothing) instead of silently half-even-rounding to a
+    plausible-but-wrong bucket."""
+    from decimal import Decimal
+
+    import pytest
+
+    with pytest.raises(TypeError, match="does not fit scale"):
+        spark_hash_value(Decimal("1.005"), T.DecimalType(18, 2))
+    # exact-scale values still hash (sanity)
+    assert isinstance(spark_hash_value(Decimal("1.00"), T.DecimalType(18, 2)), int)
