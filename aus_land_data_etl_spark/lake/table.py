@@ -58,7 +58,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass, field, fields as fields_of, replace
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -964,7 +964,12 @@ class LakeTable:
         os.rename(tmp, self._version_ptr)  # atomic pointer swap
 
     def _write_bucket_data(
-        self, df: DataFrame, snapshot_version: int, pre_bucketed: bool = False
+        self,
+        df: DataFrame,
+        snapshot_version: int,
+        pre_bucketed: bool = False,
+        cluster_key: Column | None = None,
+        files_per_bucket: int = 1,
     ) -> dict[str, list[str]]:
         """Write df (must carry BUCKET_COL) partitioned by bucket; return
         the relative file list per bucket.
@@ -987,7 +992,19 @@ class LakeTable:
         )
         out_dir = os.path.join(self.root, rel_dir)
         props = self.snapshot().properties
-        if not pre_bucketed:
+        if cluster_key is not None:
+            # z-ordered rewrite (lake/zorder.py): range-partition on
+            # (bucket, z-key) so each task holds one contiguous z-range of
+            # one bucket → files_per_bucket tight-zonemap files per bucket.
+            # Supersedes both the hash repartition and the sort_cols sort
+            # (the z-key IS the clustering order).
+            snap = self.snapshot()
+            df = df.repartitionByRange(
+                max(1, snap.n_buckets * files_per_bucket),
+                F.col(BUCKET_COL),
+                cluster_key,
+            ).sortWithinPartitions(F.col(BUCKET_COL), cluster_key)
+        elif not pre_bucketed:
             snap = self.snapshot()
             df = df.repartition(snap.n_buckets, F.col(BUCKET_COL))
         # sorted writes: clustering rows by the sort columns inside each
@@ -995,7 +1012,7 @@ class LakeTable:
         # own page stats + RLE).  Per-partition sort — no extra exchange,
         # so the pre_bucketed no-shuffle guarantee holds.
         sort_cols = [c for c in (props.get("sort_cols") or []) if c in df.columns]
-        if sort_cols:
+        if sort_cols and cluster_key is None:
             df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
         writer = df.write.mode("overwrite")
         for c in props.get("bloom_cols") or []:
@@ -1047,12 +1064,27 @@ class LakeTable:
         out.update((k, v) for k, v in staged.items() if k in live)
         return out
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Full rewrite of table content (bootstrap / backfill path)."""
+    def overwrite(
+        self,
+        df: DataFrame,
+        cluster_key: Column | None = None,
+        files_per_bucket: int = 1,
+    ) -> int:
+        """Full rewrite of table content (bootstrap / backfill path).
+
+        ``cluster_key`` (see ``lake/zorder.py``) switches the write layout
+        from one-file-per-hash-bucket to ``files_per_bucket`` contiguous
+        cluster-key ranges per bucket — multi-dimensional zonemap
+        clustering without giving up key bucketing."""
         snap = self.snapshot()
         new_version = snap.version + 1
         with_bucket = df.withColumn(BUCKET_COL, bucket_expr(snap.key_col, snap.n_buckets))
-        bucket_files = self._write_bucket_data(with_bucket, new_version)
+        bucket_files = self._write_bucket_data(
+            with_bucket,
+            new_version,
+            cluster_key=cluster_key,
+            files_per_bucket=files_per_bucket,
+        )
         new_snap = Snapshot(
             version=new_version,
             schema_json=json.dumps(df.schema.jsonValue()),

@@ -2914,6 +2914,90 @@ WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-17'
 """
 
 
+def q_lake_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite + multi-dimensional zonemap pruning
+    (Databricks OPTIMIZE ZORDER BY analog, ``lake/zorder.py``): orders
+    land in a hash-bucketed LakeTable, then one ``cluster_zorder``
+    maintenance rewrite range-splits each bucket along the
+    (o_custkey, o_totalprice) Morton curve.  A ~10%-wide window on
+    EITHER dimension must then skip files — including o_totalprice,
+    which a lexicographic ``sort_cols`` layout could never prune — and
+    the query raises if either dimension skipped nothing, so the driver
+    check covers the values AND the cross-dimension pruning claim.
+    Window bounds are derived from min/max in IEEE double arithmetic the
+    DuckDB oracle reproduces bit-for-bit (0.45e0/0.55e0 literals)."""
+    from aus_land_data_etl_spark.lake.table import LakeTable
+    from aus_land_data_etl_spark.lake.zorder import cluster_zorder
+
+    orders = _t(spark, sf_dir, "orders")
+    mn_ck, mx_ck, mn_tp, mx_tp = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    lo_ck, hi_ck = mn_ck + 0.45 * (mx_ck - mn_ck), mn_ck + 0.55 * (mx_ck - mn_ck)
+    lo_tp, hi_tp = mn_tp + 0.45 * (mx_tp - mn_tp), mn_tp + 0.55 * (mx_tp - mn_tp)
+    d = tempfile.mkdtemp(prefix="cdc_zo_")
+    try:
+        table = LakeTable.create(
+            spark,
+            d,
+            schema=orders.schema,
+            key_col="o_orderkey",
+            version_col="o_orderdate",
+            n_buckets=4,
+            properties={"stats_cols": ["o_custkey", "o_totalprice"]},
+        )
+        table.overwrite(orders)
+        cluster_zorder(
+            table,
+            ["o_custkey", "o_totalprice"],
+            bits=6,
+            files_per_bucket=8,
+        )
+        windows = {
+            "o_custkey": (lo_ck, hi_ck),
+            "o_totalprice": (lo_tp, hi_tp),
+        }
+        for col, (lo, hi) in windows.items():
+            _, skipped = table.plan_scan(predicates=[(col, ">=", lo), (col, "<", hi)])
+            if not skipped:
+                raise RuntimeError(f"z-order pruning skipped no files on {col}")
+        preds = [
+            ("o_custkey", ">=", lo_ck), ("o_custkey", "<", hi_ck),
+            ("o_totalprice", ">=", lo_tp), ("o_totalprice", "<", hi_tp),
+        ]
+        out = (
+            table.read(predicates=preds)  # pruned raw scan (advisory) ...
+            .filter(  # ... + the residual row filter (the sound contract)
+                (F.col("o_custkey") >= F.lit(lo_ck))
+                & (F.col("o_custkey") < F.lit(hi_ck))
+                & (F.col("o_totalprice") >= F.lit(lo_tp))
+                & (F.col("o_totalprice") < F.lit(hi_tp))
+            )
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# 0.45e0/0.55e0: DOUBLE literals — a bare 0.45 is DECIMAL in DuckDB, whose
+# exact arithmetic would disagree with the engine's IEEE-double bounds.
+ORACLE_LAKE_ZORDER_PRUNE = """
+WITH b AS (
+  SELECT MIN(o_custkey) + 0.45e0 * (MAX(o_custkey) - MIN(o_custkey)) AS lo_ck,
+         MIN(o_custkey) + 0.55e0 * (MAX(o_custkey) - MIN(o_custkey)) AS hi_ck,
+         MIN(o_totalprice) + 0.45e0 * (MAX(o_totalprice) - MIN(o_totalprice)) AS lo_tp,
+         MIN(o_totalprice) + 0.55e0 * (MAX(o_totalprice) - MIN(o_totalprice)) AS hi_tp
+  FROM orders
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o, b
+WHERE o.o_custkey >= b.lo_ck AND o.o_custkey < b.hi_ck
+  AND o.o_totalprice >= b.lo_tp AND o.o_totalprice < b.hi_tp
+"""
+
+
 def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-side point reads: after the CDC apply, ``LakeTable.lookup``
     fetches the current LWW row (tombstones included) for each of 8 urls,
@@ -3130,6 +3214,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_build_lsh": q_corpus_build_lsh,
     "emb_topk_ivf_incremental": q_emb_topk_ivf_incremental,
     "domain_mix_sample": q_domain_mix_sample,
+    "lake_zorder_prune": q_lake_zorder_prune,
     # --- (c) green in r04 ---
     "cdc_engine_converge": q_cdc_engine_converge,
     "cdc_schema_evolution_converge": q_cdc_schema_evolution_converge,
@@ -3223,6 +3308,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pack_sequences_bucketed": ORACLE_PACK_SEQUENCES_BUCKETED,
+    "lake_zorder_prune": ORACLE_LAKE_ZORDER_PRUNE,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "corpus_build": ORACLE_CORPUS_BUILD,
     # the LSH scale path must equal the exact path's output row-for-row
