@@ -148,6 +148,11 @@ def zorder_key(
             if c in string_cols
             else F.col(c).cast("double")
         )
+        if not bs:
+            # empty/constant dimension (e.g. a rewrite of an empty table):
+            # every row is bucket 0, no comparisons to fold
+            idx_exprs.append(F.lit(0).cast("long"))
+            continue
         arr = F.array(*[F.lit(float(b)) for b in bs])
         idx = F.aggregate(
             arr,

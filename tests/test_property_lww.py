@@ -95,11 +95,16 @@ def event_logs(draw, with_patches: bool = False):
     n_batches = draw(st.integers(min_value=1, max_value=3))
     modes = [draw(st.sampled_from(["mor", "cow"])) for _ in range(n_batches)]
     wal = offset_mode == "unique" and draw(st.booleans())
-    # random MAINTENANCE interleavings between batches: a fold or a
-    # bucket-count change must never alter the resolved state — the
-    # round-4 bug class was exactly a mode/maintenance interleaving
+    # random MAINTENANCE interleavings between batches: a fold, a
+    # bucket-count change, or a z-order clustered rewrite must never
+    # alter the resolved state — the round-4 bug class was exactly a
+    # mode/maintenance interleaving
     maint = [
-        draw(st.sampled_from([None, None, "fold", "rebucket4", "rebucket1"]))
+        draw(
+            st.sampled_from(
+                [None, None, "fold", "rebucket4", "rebucket1", "zorder"]
+            )
+        )
         for _ in range(n_batches)
     ]
     return order, n_batches, modes, offset_mode, wal, maint
@@ -209,6 +214,14 @@ def _do_maint(table, op):
         fold_deltas(table, "event_id")
     elif op and op.startswith("rebucket"):
         table.rebucket(int(op[len("rebucket"):]))
+    elif op == "zorder":
+        # z-order clustered rewrite mid-stream: resolves (per-cell for
+        # patch tables) + overwrites — later merges must still converge.
+        # warc_ts+lang exercises both the numeric and the STRING
+        # quantizer paths (lake/zorder.py _rank_expr).
+        from aus_land_data_etl_spark.lake.zorder import cluster_zorder
+
+        cluster_zorder(table, ["warc_ts", "lang"], bits=3, files_per_bucket=2)
 
 
 def _run_row_log(spark, tmp_path_factory, log):
@@ -276,9 +289,29 @@ _R4_COW_AFTER_MOR_LOG = (
 )
 
 
+#: Round-5 pinned interleaving: the round-4 bug shape with a Z-ORDER
+#: clustered rewrite as the maintenance op — a nothing-determining patch
+#: lands as a MoR fanout delta, the z-order rewrite resolves+overwrites
+#: (per-cell) while that delta is live, then an OLDER full image arrives.
+#: The rewrite must bake the patch's cell ownership (_cvers) into the new
+#: base or the older image would steal cells it lost.
+_R5_ZORDER_AFTER_MOR_LOG = (
+    [
+        ("e000", "patch", KEYS[0], 35, [], 0),
+        ("e001", "update", KEYS[0], 33, None, 1),
+    ],
+    2,
+    ["mor", "cow"],
+    "unique",
+    False,
+    ["zorder", None],
+)
+
+
 @settings(max_examples=5, derandomize=True, **_PROFILE_COMMON)
 @given(event_logs(with_patches=True))
 @example(_R4_COW_AFTER_MOR_LOG)
+@example(_R5_ZORDER_AFTER_MOR_LOG)
 def test_patch_engine_matches_cell_oracle_deterministic(
     spark, tmp_path_factory, log
 ):
