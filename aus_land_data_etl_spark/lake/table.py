@@ -970,6 +970,7 @@ class LakeTable:
         pre_bucketed: bool = False,
         cluster_key: Column | None = None,
         files_per_bucket: int = 1,
+        cluster_n_buckets: int | None = None,
     ) -> dict[str, list[str]]:
         """Write df (must carry BUCKET_COL) partitioned by bucket; return
         the relative file list per bucket.
@@ -997,10 +998,13 @@ class LakeTable:
             # (bucket, z-key) so each task holds one contiguous z-range of
             # one bucket → files_per_bucket tight-zonemap files per bucket.
             # Supersedes both the hash repartition and the sort_cols sort
-            # (the z-key IS the clustering order).
+            # (the z-key IS the clustering order).  cluster_n_buckets: how
+            # many distinct buckets df actually covers (a bucket-scoped
+            # incremental rewrite passes len(touched), not the table width).
             snap = self.snapshot()
+            width = cluster_n_buckets or snap.n_buckets
             df = df.repartitionByRange(
-                max(1, snap.n_buckets * files_per_bucket),
+                max(1, width * files_per_bucket),
                 F.col(BUCKET_COL),
                 cluster_key,
             ).sortWithinPartitions(F.col(BUCKET_COL), cluster_key)
@@ -1181,8 +1185,15 @@ class LakeTable:
         pre_bucketed: bool = False,
         wal_offsets: bool = False,
         properties_update: dict[str, Any] | None = None,
+        cluster_key: Column | None = None,
+        files_per_bucket: int = 1,
     ) -> int:
         """Copy-on-write commit: replace data for ``touched_buckets`` only.
+
+        ``cluster_key`` switches the touched buckets' write layout to
+        ``files_per_bucket`` contiguous cluster-key ranges per bucket
+        (the incremental z-order path, ``lake/zorder.py
+        cluster_zorder_buckets``); untouched buckets keep their files.
 
         ``replaced`` is one DataFrame carrying BUCKET_COL covering exactly
         the touched buckets.  Untouched buckets keep their existing files —
@@ -1210,7 +1221,14 @@ class LakeTable:
             return snap.version  # exactly-once: batch already applied
         new_version = snap.version + 1
         assert isinstance(replaced, DataFrame)
-        new_files = self._write_bucket_data(replaced, new_version, pre_bucketed)
+        new_files = self._write_bucket_data(
+            replaced,
+            new_version,
+            pre_bucketed,
+            cluster_key=cluster_key,
+            files_per_bucket=files_per_bucket,
+            cluster_n_buckets=len(touched_buckets) if cluster_key is not None else None,
+        )
         while True:
             bucket_files = dict(snap.bucket_files)
             delta_files = dict(snap.delta_files)

@@ -193,14 +193,7 @@ def cluster_zorder(
     that never sees the bounds.
     """
     snap = table.snapshot()
-    stats_cols = set(snap.properties.get("stats_cols") or [])
-    missing = [c for c in cols if c not in stats_cols]
-    if missing:
-        raise ValueError(
-            f"z-order columns {missing} are not in the table's stats_cols "
-            f"property {sorted(stats_cols)}; zonemaps are never recorded "
-            "for them, so clustering would not enable any file-skipping"
-        )
+    _check_stats_cols(snap, cols)
     if files_per_bucket < 1:
         raise ValueError(f"files_per_bucket must be >= 1, got {files_per_bucket}")
     resolved = table.read_resolved(tiebreak_col=tiebreak_col)
@@ -211,4 +204,96 @@ def cluster_zorder(
     key = zorder_key(bounds, bits=bits, string_cols=str_cols)
     return table.overwrite(
         resolved, cluster_key=key, files_per_bucket=files_per_bucket
+    )
+
+
+def _check_stats_cols(snap, cols: list[str]) -> None:
+    stats_cols = set(snap.properties.get("stats_cols") or [])
+    missing = [c for c in cols if c not in stats_cols]
+    if missing:
+        raise ValueError(
+            f"z-order columns {missing} are not in the table's stats_cols "
+            f"property {sorted(stats_cols)}; zonemaps are never recorded "
+            "for them, so clustering would not enable any file-skipping"
+        )
+
+
+def cluster_zorder_buckets(
+    table: LakeTable,
+    cols: list[str],
+    buckets: list[int] | None = None,
+    min_files: int = 2,
+    bits: int = 6,
+    files_per_bucket: int = 4,
+    tiebreak_col: str = "event_id",
+    rel_err: float = 0.01,
+) -> int:
+    """Incremental z-order: re-cluster ONLY the deep buckets.
+
+    At 100 TB you never rewrite the whole table on a maintenance tick —
+    you re-cluster the hash buckets whose file stacks grew past
+    ``min_files`` (base + delta layers), or an explicit ``buckets`` list.
+    Untouched buckets keep their existing files byte-for-byte (the
+    ``commit_buckets`` copy-on-write contract), which bounds the rewrite
+    at O(dirty data) rather than O(table) — the same write-amplification
+    envelope as the leveled ``fold_deltas``.
+
+    Sound by the fold contract: fanout (``"*"``) deltas are first
+    clustered into per-bucket layers (``cluster_fanout_deltas`` — they
+    span every bucket, so a bucket-scoped commit could not retire them),
+    then the selected buckets resolve base ∪ stack (per-cell for patch
+    tables) and rewrite clustered; the committed schema is aligned to the
+    snapshot's whenever other buckets still hold live deltas
+    (``_align_to`` — the round-4 CoW-after-MoR guard).
+
+    The quantizer is computed over the selected buckets' resolved rows:
+    bounds are per-rewrite layout hints, while pruning soundness always
+    rests on the real per-file min/max swept at commit (lake/stats.py).
+    Returns the committed version (unchanged if nothing qualified).
+    """
+    from aus_land_data_etl_spark.lake.merge import (
+        _align_to,
+        cluster_fanout_deltas,
+    )
+    from aus_land_data_etl_spark.lake.table import BUCKET_COL, bucket_expr
+
+    snap = table.snapshot()
+    _check_stats_cols(snap, cols)
+    if files_per_bucket < 1:
+        raise ValueError(f"files_per_bucket must be >= 1, got {files_per_bucket}")
+    cluster_fanout_deltas(table, tiebreak_col)
+    snap = table.snapshot()
+    if buckets is None:
+        buckets = sorted(
+            b
+            for b in range(snap.n_buckets)
+            if len(snap.bucket_files.get(str(b), []))
+            + len(snap.delta_files.get(str(b), []))
+            >= max(1, min_files)
+        )
+    else:
+        bad = [b for b in buckets if not 0 <= b < snap.n_buckets]
+        if bad:
+            raise ValueError(f"buckets {bad} out of range [0, {snap.n_buckets})")
+        buckets = sorted(set(buckets))
+    if not buckets:
+        return snap.version
+    resolved = table.read_resolved(buckets=buckets, tiebreak_col=tiebreak_col)
+    bounds = quantile_bounds(resolved, cols, bits=bits, rel_err=rel_err)
+    str_cols = frozenset(
+        c for c in cols if isinstance(resolved.schema[c].dataType, T.StringType)
+    )
+    key = zorder_key(bounds, bits=bits, string_cols=str_cols)
+    # patch tables: resolution consumed _set_cols and materialised _cvers;
+    # align so delta layers surviving in OTHER buckets stay readable
+    resolved = _align_to(resolved, snap.schema)
+    resolved = resolved.withColumn(
+        BUCKET_COL, bucket_expr(snap.key_col, snap.n_buckets)
+    )
+    return table.commit_buckets(
+        resolved,
+        touched_buckets=buckets,
+        schema=resolved.drop(BUCKET_COL).schema,
+        cluster_key=key,
+        files_per_bucket=files_per_bucket,
     )

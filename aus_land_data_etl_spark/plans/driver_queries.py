@@ -2981,6 +2981,88 @@ def q_lake_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_lake_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-scoped incremental z-order (``cluster_zorder_buckets``):
+    at 100 TB a maintenance tick never rewrites the whole table — only
+    the dirty buckets re-cluster through the copy-on-write
+    ``commit_buckets`` path.  Orders land hash-bucketed, buckets {0,1}
+    re-cluster along the (o_custkey, o_totalprice) Morton curve, and the
+    query raises unless (a) buckets {2,3} kept their file lists
+    UNCHANGED (bounded write amplification — the contract, not a vibe)
+    and (b) a ~10%-wide o_custkey window skips files inside the
+    re-clustered buckets.  Returned rows are the windowed selection over
+    the whole table (pruned scan + residual filter), so the oracle also
+    checks that partial re-clustering never loses or duplicates rows."""
+    from aus_land_data_etl_spark.lake.table import LakeTable
+    from aus_land_data_etl_spark.lake.zorder import cluster_zorder_buckets
+
+    orders = _t(spark, sf_dir, "orders")
+    mn_ck, mx_ck = orders.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    lo_ck, hi_ck = mn_ck + 0.45 * (mx_ck - mn_ck), mn_ck + 0.55 * (mx_ck - mn_ck)
+    d = tempfile.mkdtemp(prefix="cdc_zi_")
+    try:
+        table = LakeTable.create(
+            spark,
+            d,
+            schema=orders.schema,
+            key_col="o_orderkey",
+            version_col="o_orderdate",
+            n_buckets=4,
+            properties={"stats_cols": ["o_custkey", "o_totalprice"]},
+        )
+        table.overwrite(orders)
+        snap0 = table.snapshot()
+        untouched_before = {
+            b: list(snap0.bucket_files.get(b, [])) for b in ("2", "3")
+        }
+        cluster_zorder_buckets(
+            table,
+            ["o_custkey", "o_totalprice"],
+            buckets=[0, 1],
+            bits=6,
+            files_per_bucket=8,
+            tiebreak_col="o_orderkey",
+        )
+        snap1 = table.snapshot()
+        for b, fs in untouched_before.items():
+            if snap1.bucket_files.get(b, []) != fs:
+                raise RuntimeError(
+                    f"incremental z-order rewrote untouched bucket {b}"
+                )
+        _, skipped = table.plan_scan(
+            buckets=[0, 1],
+            predicates=[("o_custkey", ">=", lo_ck), ("o_custkey", "<", hi_ck)],
+        )
+        if not skipped:
+            raise RuntimeError(
+                "incremental z-order skipped no files in re-clustered buckets"
+            )
+        out = (
+            table.read(predicates=[("o_custkey", ">=", lo_ck),
+                                   ("o_custkey", "<", hi_ck)])
+            .filter(
+                (F.col("o_custkey") >= F.lit(lo_ck))
+                & (F.col("o_custkey") < F.lit(hi_ck))
+            )
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_LAKE_ZORDER_INCREMENTAL = """
+WITH b AS (
+  SELECT MIN(o_custkey) + 0.45e0 * (MAX(o_custkey) - MIN(o_custkey)) AS lo_ck,
+         MIN(o_custkey) + 0.55e0 * (MAX(o_custkey) - MIN(o_custkey)) AS hi_ck
+  FROM orders
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o, b
+WHERE o.o_custkey >= b.lo_ck AND o.o_custkey < b.hi_ck
+"""
+
+
 # 0.45e0/0.55e0: DOUBLE literals — a bare 0.45 is DECIMAL in DuckDB, whose
 # exact arithmetic would disagree with the engine's IEEE-double bounds.
 ORACLE_LAKE_ZORDER_PRUNE = """
@@ -3215,6 +3297,7 @@ QUERIES: dict[str, QueryFn] = {
     "emb_topk_ivf_incremental": q_emb_topk_ivf_incremental,
     "domain_mix_sample": q_domain_mix_sample,
     "lake_zorder_prune": q_lake_zorder_prune,
+    "lake_zorder_incremental": q_lake_zorder_incremental,
     # --- (c) green in r04 ---
     "cdc_engine_converge": q_cdc_engine_converge,
     "cdc_schema_evolution_converge": q_cdc_schema_evolution_converge,
@@ -3309,6 +3392,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pack_sequences_bucketed": ORACLE_PACK_SEQUENCES_BUCKETED,
     "lake_zorder_prune": ORACLE_LAKE_ZORDER_PRUNE,
+    "lake_zorder_incremental": ORACLE_LAKE_ZORDER_INCREMENTAL,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "corpus_build": ORACLE_CORPUS_BUILD,
     # the LSH scale path must equal the exact path's output row-for-row

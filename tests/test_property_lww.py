@@ -102,7 +102,15 @@ def event_logs(draw, with_patches: bool = False):
     maint = [
         draw(
             st.sampled_from(
-                [None, None, "fold", "rebucket4", "rebucket1", "zorder"]
+                [
+                    None,
+                    None,
+                    "fold",
+                    "rebucket4",
+                    "rebucket1",
+                    "zorder",
+                    "zorder_inc",
+                ]
             )
         )
         for _ in range(n_batches)
@@ -222,6 +230,16 @@ def _do_maint(table, op):
         from aus_land_data_etl_spark.lake.zorder import cluster_zorder
 
         cluster_zorder(table, ["warc_ts", "lang"], bits=3, files_per_bucket=2)
+    elif op == "zorder_inc":
+        # bucket-scoped incremental z-order: fanout deltas cluster first,
+        # every non-empty bucket re-clusters via the copy-on-write
+        # commit_buckets path (schema aligned so surviving deltas stay
+        # readable — the round-4 bug class)
+        from aus_land_data_etl_spark.lake.zorder import cluster_zorder_buckets
+
+        cluster_zorder_buckets(
+            table, ["warc_ts", "lang"], min_files=1, bits=3, files_per_bucket=2
+        )
 
 
 def _run_row_log(spark, tmp_path_factory, log):
@@ -307,11 +325,23 @@ _R5_ZORDER_AFTER_MOR_LOG = (
     ["zorder", None],
 )
 
+#: Same shape through the BUCKET-SCOPED incremental path (commit_buckets
+#: + _align_to instead of a full overwrite).
+_R5_ZORDER_INC_AFTER_MOR_LOG = (
+    _R5_ZORDER_AFTER_MOR_LOG[0],
+    2,
+    ["mor", "cow"],
+    "unique",
+    False,
+    ["zorder_inc", None],
+)
+
 
 @settings(max_examples=5, derandomize=True, **_PROFILE_COMMON)
 @given(event_logs(with_patches=True))
 @example(_R4_COW_AFTER_MOR_LOG)
 @example(_R5_ZORDER_AFTER_MOR_LOG)
+@example(_R5_ZORDER_INC_AFTER_MOR_LOG)
 def test_patch_engine_matches_cell_oracle_deterministic(
     spark, tmp_path_factory, log
 ):

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from aus_land_data_etl_spark.lake.table import LakeTable
 from aus_land_data_etl_spark.lake.zorder import (
     cluster_zorder,
+    cluster_zorder_buckets,
     quantile_bounds,
     zorder_key,
 )
@@ -202,3 +203,138 @@ def test_cluster_zorder_string_dimension(spark, tmp_path):
     )
     full = sorted((r.k, r.source, r.n) for r in t.read().filter(flt).collect())
     assert pruned == full and len(full) == 256
+
+
+# --- incremental (bucket-scoped) z-order --------------------------------
+
+
+def _file_bytes(root, rels):
+    import os
+
+    return {rel: open(os.path.join(root, rel), "rb").read() for rel in rels}
+
+
+def test_incremental_zorder_explicit_buckets(spark, tmp_path, grid):
+    """cluster_zorder_buckets([0,1]) subdivides ONLY those buckets; the
+    others keep their files byte-for-byte, and state is unchanged."""
+    t = _make_table(spark, tmp_path, grid)
+    snap0 = t.snapshot()
+    untouched = {
+        b: list(snap0.bucket_files[b]) for b in ("2", "3") if b in snap0.bucket_files
+    }
+    before_bytes = {
+        b: _file_bytes(t.root, fs) for b, fs in untouched.items()
+    }
+    expected = sorted((r.k, r.a, r.b) for r in t.read().collect())
+
+    v = cluster_zorder_buckets(
+        t, ["a", "b"], buckets=[0, 1], bits=5, files_per_bucket=4,
+        tiebreak_col="k",
+    )
+    assert v == t.current_version()
+    snap1 = t.snapshot()
+    for b in ("0", "1"):
+        assert len(snap1.bucket_files[b]) > 1, f"bucket {b} not subdivided"
+    for b, fs in untouched.items():
+        assert snap1.bucket_files[b] == fs
+        assert _file_bytes(t.root, fs) == before_bytes[b]
+    got = sorted((r.k, r.a, r.b) for r in t.read().collect())
+    assert got == expected
+
+
+def test_incremental_zorder_auto_selects_deep_stacks(spark, tmp_path_factory):
+    """min_files auto-selection: only the bucket whose base+delta stack is
+    deep gets re-clustered; the shallow bucket keeps base AND delta files
+    byte-identical, and the resolved state is preserved."""
+    import datetime as dt
+
+    from aus_land_data_etl_spark.lake.merge import delta_merge_into, read_current
+    from aus_land_data_etl_spark.lake.table import bucket_expr
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("event_id", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    n_buckets = 4
+    urls = [f"https://d{i}.example.com/p/{i}" for i in range(40)]
+    probe = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", bucket_expr("url", n_buckets).alias("b")
+    )
+    by_bucket: dict[int, list[str]] = {}
+    for r in probe.collect():
+        by_bucket.setdefault(int(r["b"]), []).append(r["url"])
+    hot_b, cold_b = sorted(by_bucket)[:2]
+    hot, cold = by_bucket[hot_b], by_bucket[cold_b]
+
+    def batch(us, ts, tag, op="update"):
+        # text varies PER URL in its first 6 bytes (u[8:14] = "d7.exa",
+        # "d12.ex", ...) so the resolved rows span the string-proxy range
+        # — constant text would make the z-key degenerate and the range
+        # split a no-op
+        rows = [
+            (u, dt.datetime(2024, 1, 1, 0, 0, ts), f"e-{u}-{ts}",
+             f"{u[8:14]}-{tag}-{ts}")
+            for u in us
+        ]
+        return spark.createDataFrame(rows, schema).withColumn("op", F.lit(op))
+
+    d = str(tmp_path_factory.mktemp("zinc"))
+    t = LakeTable.create(
+        spark, d, schema=schema, key_col="url", version_col="warc_ts",
+        n_buckets=n_buckets,
+        properties={"stats_cols": ["warc_ts", "text"]},
+    )
+    t.overwrite(batch(hot + cold, 1, "base").drop("op"))
+    for ts in (2, 3, 4):
+        delta_merge_into(
+            t, batch(hot, ts, f"hot-{ts}"), "event_id",
+            compact_depth=100, fanout=False,
+        )
+    delta_merge_into(
+        t, batch(cold, 5, "cold-5"), "event_id",
+        compact_depth=100, fanout=False,
+    )
+    snap = t.snapshot()
+    cold_base = list(snap.bucket_files[str(cold_b)])
+    cold_deltas = list(snap.delta_files[str(cold_b)])
+    cold_bytes = _file_bytes(t.root, cold_base + cold_deltas)
+    expected = {(r["url"], r["text"]) for r in read_current(t).collect()}
+    texts = sorted(x[1] for x in expected if x[0] in set(hot))
+
+    # hot stack = 1 base + 3 deltas = 4 files ≥ min_files; cold = 2 < 4
+    cluster_zorder_buckets(
+        t, ["warc_ts", "text"], min_files=4, bits=4, files_per_bucket=3
+    )
+
+    snap2 = t.snapshot()
+    assert str(hot_b) not in snap2.delta_files  # stack consumed
+    assert len(snap2.bucket_files[str(hot_b)]) > 1  # subdivided
+    assert snap2.bucket_files[str(cold_b)] == cold_base
+    assert snap2.delta_files[str(cold_b)] == cold_deltas
+    assert _file_bytes(t.root, cold_base + cold_deltas) == cold_bytes
+    got = {(r["url"], r["text"]) for r in read_current(t).collect()}
+    assert got == expected
+
+    # the re-clustered bucket's files carry tight zonemaps on the STRING
+    # dimension: a point probe on one resolved text value skips files
+    # inside the hot bucket (warc_ts is constant post-LWW, so the z order
+    # is text order and files cover disjoint text ranges)
+    _, skipped = t.plan_scan(
+        buckets=[hot_b],
+        predicates=[("text", "==", texts[0])],
+    )
+    assert skipped, "no files skipped inside the re-clustered bucket"
+
+
+def test_incremental_zorder_noop_when_nothing_deep(spark, tmp_path, grid):
+    t = _make_table(spark, tmp_path, grid)
+    v0 = t.current_version()
+    # every bucket has exactly 1 file < min_files=2 → no commit at all
+    assert cluster_zorder_buckets(t, ["a", "b"], min_files=2) == v0
+    assert t.current_version() == v0
+    with pytest.raises(ValueError, match="out of range"):
+        cluster_zorder_buckets(t, ["a", "b"], buckets=[99])
