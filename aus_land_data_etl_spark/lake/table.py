@@ -1068,6 +1068,33 @@ class LakeTable:
         out.update((k, v) for k, v in staged.items() if k in live)
         return out
 
+    def set_properties(self, updates: dict[str, Any]) -> int:
+        """Metadata-only property commit (``ALTER TABLE SET TBLPROPERTIES``
+        analog): no data files are touched.
+
+        Stats-affecting properties apply to FUTURE commits only —
+        ``stats_cols`` added here start being footer-swept at the next
+        data commit; files written before keep whatever zonemaps they
+        had (``plan_scan`` keeps files without recorded stats, so the
+        change is always pruning-sound).  A ``None`` value removes the
+        property."""
+        snap = self.snapshot()
+        props = dict(snap.properties)
+        for k, v in updates.items():
+            if v is None:
+                props.pop(k, None)
+            else:
+                props[k] = v
+        new_version = snap.version + 1
+        new_snap = replace(
+            snap,
+            version=new_version,
+            properties=props,
+            manifest_files=self._next_manifest_files(snap, new_version, None),
+        )
+        self._write_snapshot(new_snap)
+        return new_version
+
     def overwrite(
         self,
         df: DataFrame,

@@ -21,6 +21,12 @@ to the pre-merge snapshot; this soak proves the REPAIRED tier end to end:
   stacks;
 - a ``rebucket(8→16)`` three quarters in — bucket-layout evolution on a
   live patch table;
+- Z-ORDER maintenance in the loop (round 5): ``stats_cols`` enabled
+  late via the metadata-only ``set_properties`` commit, an incremental
+  ``cluster_zorder_buckets`` at batch 5 (live patch deltas → per-cell
+  resolution + ``_align_to`` schema guard) and again after the final
+  batch on the post-rebucket 16-bucket layout; the run then ASSERTS a
+  10%-wide warc_ts window skips files via ``plan_scan``;
 - ~2% at-least-once duplicate deliveries routed to different batches;
 - final state value-compared against the DuckDB per-cell arg_max oracle
   (``ORACLE_CDC_PATCH`` — the same SQL the driver correctness gate runs)
@@ -63,6 +69,7 @@ def main() -> None:
         merge_patch_into,
         read_current,
     )
+    from aus_land_data_etl_spark.lake.zorder import cluster_zorder_buckets
     from aus_land_data_etl_spark.plans.driver_queries import (
         ORACLE_CDC_PATCH,
         _patch_fixture,
@@ -108,6 +115,9 @@ def main() -> None:
         ev.coalesce(4).write.parquet(os.path.join(work, "events.parquet"))
 
         table, changes, tdir = _patch_fixture(spark, work)
+        # late-enable zonemap sweeping (metadata-only commit): z-order
+        # maintenance below needs stats_cols recorded on future commits
+        table.set_properties({"stats_cols": ["warc_ts", "lang"]})
         # re-batch to 16 micro-batches; ~2% duplicate deliveries land in
         # a DIFFERENT batch (at-least-once transport)
         changes = changes.drop("_b").withColumn(
@@ -131,10 +141,35 @@ def main() -> None:
                 )
             else:
                 merge_patch_into(table, batch, "event_id", epoch_id=str(i))
+            if i == 5:
+                # incremental z-order with live patch deltas mid-stream
+                cluster_zorder_buckets(
+                    table, ["warc_ts", "lang"], min_files=2, bits=5,
+                    files_per_bucket=2,
+                )
             if i == 7:
                 fold_deltas(table, "event_id")  # explicit mid-stream fold
             if i == 11:
                 table.rebucket(16, tiebreak_col="event_id")
+        # final incremental z-order on the post-rebucket layout, then the
+        # pruning claim itself: a 10%-wide warc_ts window must skip files
+        cluster_zorder_buckets(
+            table, ["warc_ts", "lang"], min_files=1, bits=6,
+            files_per_bucket=4,
+        )
+        base_dt = 1_704_067_200  # 2024-01-01 UTC, seconds
+        import datetime as _dt
+
+        # the final state holds LWW winners (max of ~12 uniform draws
+        # per url), so winners' warc_ts concentrates near the top of the
+        # range — probe at the 95% mark so the window both keeps AND
+        # skips files
+        zo_kept, zo_skipped = table.plan_scan(
+            predicates=[
+                ("warc_ts", "<",
+                 _dt.datetime.utcfromtimestamp(base_dt + (n_events * 19) // 20)),
+            ]
+        )
         t_apply = time.time() - t0
 
         got = (
@@ -180,14 +215,24 @@ def main() -> None:
             "events_physical": int(rows_in),
             "n_batches": n_batches,
             "modes": "".join("m" if m == "mor" else "c" for m in modes),
-            "mid_stream": ["fold_deltas@7", "rebucket 8->16 @11"],
+            "mid_stream": [
+                "zorder_inc@5", "fold_deltas@7", "rebucket 8->16 @11",
+                "zorder_inc(final, 16 buckets)",
+            ],
+            "zorder_files_kept": len(zo_kept),
+            "zorder_files_skipped": len(zo_skipped),
             "final_rows": int(len(g)),
             "oracle_rows": int(len(e)),
             "value_mismatches": n_mismatch,
             "apply_wall_sec": round(t_apply, 1),
             "total_wall_sec": round(time.time() - t0, 1),
             "events_per_sec_apply": round(rows_in / t_apply, 1),
-            "ok": bool(len(g) == len(e) and n_mismatch == 0),
+            "ok": bool(
+                len(g) == len(e)
+                and n_mismatch == 0
+                and len(zo_skipped) > 0
+                and len(zo_kept) > 0
+            ),
         }
         line = json.dumps(result)
         print(line)

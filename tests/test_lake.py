@@ -214,3 +214,39 @@ def test_bloom_cols_property_adds_filter_bytes(spark, tmp_path):
         sizes[name] = os.path.getsize(files[0])
         assert t.read().count() == 5000
     assert sizes["bloom"] > sizes["plain"]
+
+
+def test_set_properties_metadata_only_commit(spark, tmp_table_dir):
+    """ALTER TABLE SET TBLPROPERTIES analog: a metadata-only commit that
+    touches no data files; stats_cols added late start being swept at the
+    NEXT data commit, old files stay (conservatively) unpruned, and time
+    travel sees the old properties."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, "url", "warc_ts", n_buckets=2)
+    t.overwrite(_mkdf(spark, 100, "a"))
+    v1 = t.current_version()
+    files_v1 = dict(t.snapshot().bucket_files)
+
+    v2 = t.set_properties({"stats_cols": ["warc_ts"], "note": "x"})
+    assert v2 == v1 + 1
+    snap = t.snapshot()
+    assert snap.properties["stats_cols"] == ["warc_ts"]
+    assert snap.bucket_files == files_v1  # no data rewrite
+    assert t.read().count() == 100
+    # files written BEFORE the property change carry no stats → kept
+    kept, skipped = t.plan_scan(
+        predicates=[("warc_ts", "<", __import__("datetime").datetime(1970, 1, 1))]
+    )
+    assert skipped == []
+    # time travel: the pre-change snapshot keeps its own properties
+    assert "stats_cols" not in t.snapshot(v1).properties
+
+    # the NEXT data commit sweeps stats → an impossible window prunes all
+    t.overwrite(_mkdf(spark, 100, "b"))
+    kept, skipped = t.plan_scan(
+        predicates=[("warc_ts", "<", __import__("datetime").datetime(1970, 1, 1))]
+    )
+    assert kept == [] and skipped
+
+    # None removes a property
+    t.set_properties({"note": None})
+    assert "note" not in t.snapshot().properties
