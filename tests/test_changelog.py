@@ -508,3 +508,33 @@ def test_changelog_rebucket_pruning_differential(spark, tmp_table_dir, monkeypat
     full = rows_of(read_changes(t, pre, cur))
     monkeypatch.undo()
     assert pruned == full and len(full) > 0
+
+
+def test_changelog_empty_across_zorder_rewrites(spark, table3):
+    """Z-order rewrites (full AND bucket-scoped incremental) are pure
+    maintenance: the changelog across them must be empty — a CDC-out
+    subscriber must never see a storm of spurious updates because the
+    producer re-clustered files.  An interval spanning real changes plus
+    both rewrites still reports exactly the real changes."""
+    from aus_land_data_etl_spark.lake.zorder import (
+        cluster_zorder,
+        cluster_zorder_buckets,
+    )
+
+    t, v = table3
+    v_before = t.current_version()
+    cluster_zorder(t, ["warc_ts", "lang"], bits=4, files_per_bucket=2)
+    v_full = t.current_version()
+    assert v_full > v_before
+    assert read_changes(t, v_before, v_full).count() == 0
+
+    cluster_zorder_buckets(
+        t, ["warc_ts", "lang"], min_files=1, bits=4, files_per_bucket=2
+    )
+    v_inc = t.current_version()
+    assert v_inc > v_full
+    assert read_changes(t, v_full, v_inc).count() == 0
+
+    ch = {r["url"].rsplit("/", 1)[1]: r["change_type"]
+          for r in read_changes(t, v[1], v_inc).collect()}
+    assert ch == {"1": "update", "2": "delete", "3": "insert"}
