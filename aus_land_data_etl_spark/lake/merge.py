@@ -574,15 +574,27 @@ def read_current(
     table: LakeTable,
     tiebreak_col: str = "event_id",
     columns: list[str] | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """The live view: LWW-resolved (merge-on-read) minus tombstones.
 
     ``columns`` projects payload cells BELOW the resolution (see
     ``LakeTable.read_resolved``): a lang-only consumer never shuffles
-    the html blobs."""
+    the html blobs.
+
+    ``predicates`` — zonemap file-skipping pushed into the scan, same
+    contract as ``LakeTable.read_resolved``: advisory (the caller still
+    applies the row filter) and only honoured on a folded table (with
+    live delta stacks pruning does not commute with LWW resolution, so
+    the predicates are ignored — fold first for pruned serving reads).
+    On a z-ordered table (``lake/zorder.py``) every clustered dimension
+    prunes, so a time-window or lang probe over the live view opens a
+    fraction of the files."""
     from aus_land_data_etl_spark.operators.patch import CELL_VERS, SET_COLS
 
-    df = table.read_resolved(tiebreak_col=tiebreak_col, columns=columns)
+    df = table.read_resolved(
+        tiebreak_col=tiebreak_col, columns=columns, predicates=predicates
+    )
     if DELETED_COL in df.columns:
         df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
     for internal in (CELL_VERS, SET_COLS):

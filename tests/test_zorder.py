@@ -338,3 +338,40 @@ def test_incremental_zorder_noop_when_nothing_deep(spark, tmp_path, grid):
     assert t.current_version() == v0
     with pytest.raises(ValueError, match="out of range"):
         cluster_zorder_buckets(t, ["a", "b"], buckets=[99])
+
+
+def test_read_current_pushes_predicates_when_folded(spark, tmp_path, grid):
+    """Serving reads over the LIVE view file-skip on z-ordered dimensions
+    once folded; with live deltas the predicates are ignored (pruning
+    does not commute with LWW) but the filtered result stays identical."""
+    from aus_land_data_etl_spark.lake.merge import delta_merge_into, read_current
+
+    t = _make_table(spark, tmp_path, grid)
+    cluster_zorder(t, ["a", "b"], bits=5, files_per_bucket=4, tiebreak_col="k")
+
+    preds = [("a", ">=", 10), ("a", "<", 16)]
+    flt = (F.col("a") >= 10) & (F.col("a") < 16)
+    pruned = read_current(t, tiebreak_col="k", predicates=preds).filter(flt)
+    full = read_current(t, tiebreak_col="k")
+    assert sorted((r.k, r.a, r.b) for r in pruned.collect()) == sorted(
+        (r.k, r.a, r.b) for r in full.filter(flt).collect()
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+    # live deltas: predicates ignored, result still exact
+    upd = spark.createDataFrame(
+        [("k00000", 10, 11)], SCHEMA
+    ).withColumn("op", F.lit("update"))
+    delta_merge_into(t, upd, "k", compact_depth=100, fanout=False)
+    got = sorted(
+        (r.k, r.a, r.b)
+        for r in read_current(t, tiebreak_col="k", predicates=preds)
+        .filter(flt)
+        .collect()
+    )
+    exp = sorted(
+        (r.k, r.a, r.b)
+        for r in read_current(t, tiebreak_col="k").filter(flt).collect()
+    )
+    assert got == exp
+    assert ("k00000", 10, 11) in got
