@@ -15,6 +15,9 @@ In the sandbox the same job runs on ``local[N]``.  Modes:
                 continuous with --continuous)
 - ``generate``  write a deterministic synthetic WAL (for rehearsal)
 - ``compact``   rewrite the table dropping tombstones
+- ``zorder``    z-order maintenance rewrite (--zorder-cols a,b); with
+                --incremental only buckets with stacks ≥ --min-files
+                re-cluster (O(dirty data))
 - ``derive``    run the derive DAG and print rollup summaries
 - ``audit``     offset-coverage report from the lineage manifests
                 (gaps, overlaps, watermarks, dead-letter count)
@@ -29,7 +32,10 @@ import sys
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="pages-cdc")
-    p.add_argument("mode", choices=["ingest", "generate", "compact", "derive", "audit"])
+    p.add_argument(
+        "mode",
+        choices=["ingest", "generate", "compact", "zorder", "derive", "audit"],
+    )
     p.add_argument("--wal", help="WAL directory (parquet change events)")
     p.add_argument("--table", required=True, help="lake table root")
     p.add_argument("--checkpoint", help="streaming checkpoint dir")
@@ -38,6 +44,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--n-buckets", type=int, default=32)
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--n-salts", type=int, default=0)
+    p.add_argument("--zorder-cols", help="comma-separated z-order dimensions")
+    p.add_argument("--files-per-bucket", type=int, default=4)
+    p.add_argument("--zorder-bits", type=int, default=6)
+    p.add_argument("--incremental", action="store_true",
+                   help="zorder: re-cluster only buckets with deep stacks")
+    p.add_argument("--min-files", type=int, default=2,
+                   help="zorder --incremental: stack-depth threshold")
     p.add_argument("--cores", default=None)
     args = p.parse_args(argv)
 
@@ -90,6 +103,38 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     table = LakeTable(spark, args.table)
+    if args.mode == "zorder":
+        from aus_land_data_etl_spark.lake.zorder import (
+            cluster_zorder,
+            cluster_zorder_buckets,
+        )
+
+        assert args.zorder_cols, "--zorder-cols required"
+        cols = [c.strip() for c in args.zorder_cols.split(",") if c.strip()]
+        if args.incremental:
+            v = cluster_zorder_buckets(
+                table, cols, min_files=args.min_files, bits=args.zorder_bits,
+                files_per_bucket=args.files_per_bucket,
+            )
+        else:
+            v = cluster_zorder(
+                table, cols, bits=args.zorder_bits,
+                files_per_bucket=args.files_per_bucket,
+            )
+        snap = table.snapshot()
+        print(
+            json.dumps(
+                {
+                    "mode": "zorder",
+                    "cols": cols,
+                    "incremental": bool(args.incremental),
+                    "snapshot": v,
+                    "n_files": sum(len(f) for f in snap.bucket_files.values()),
+                }
+            )
+        )
+        return
+
     if args.mode == "compact":
         v = compact(table)
         merged = table.compact_manifests()

@@ -7,7 +7,7 @@
 # from the zip — proving the package is self-contained the way a real
 # cluster submit requires.  Pipeline: generate a deterministic WAL →
 # streaming ingest (checkpointed, exactly-once) → compact → re-ingest
-# the same WAL (replay must be a no-op).
+# the same WAL (replay must be a no-op) -> incremental z-order -> audit.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 REPO="$PWD"
@@ -41,6 +41,11 @@ SUBMIT=(spark-submit --master "local[$CORES]" --py-files "$ZIP")
     --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
     | tail -1 | tee "$WORK/out_compact.json"
 
+"${SUBMIT[@]}" driver.py zorder \
+    --table "$WORK/tbl" --zorder-cols warc_ts,lang --incremental \
+    --min-files 1 --files-per-bucket 2 \
+    --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_zorder.json"
+
 "${SUBMIT[@]}" driver.py audit \
     --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
     | tail -1 | tee "$WORK/out_audit.json"
@@ -51,6 +56,7 @@ w = sys.argv[1]
 ing = json.load(open(f"{w}/out_ingest.json"))
 rep = json.load(open(f"{w}/out_replay.json"))
 comp = json.load(open(f"{w}/out_compact.json"))
+zo = json.load(open(f"{w}/out_zorder.json"))
 aud = json.load(open(f"{w}/out_audit.json"))
 assert ing["live_pages"] > 0, ing
 assert aud["contiguous"] is True and aud["missing_offsets"] == 0, aud
@@ -58,7 +64,10 @@ assert aud["dead_letters"] == 0, aud
 assert rep["live_pages"] == ing["live_pages"], (ing, rep)
 assert rep["snapshot"] == ing["snapshot"], (ing, rep)
 assert comp["snapshot"] > ing["snapshot"], (ing, comp)
+assert zo["snapshot"] > comp["snapshot"] and zo["incremental"], zo
+assert zo["n_files"] > 0, zo
 print(json.dumps({"submit_smoke": "ok", "live_pages": ing["live_pages"],
                   "ingest_batches": ing["batches"],
-                  "replay_noop": True, "audit_contiguous": True}))
+                  "replay_noop": True, "audit_contiguous": True,
+                  "zorder_files": zo["n_files"]}))
 EOF
