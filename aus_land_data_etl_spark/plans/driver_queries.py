@@ -3051,6 +3051,62 @@ def q_lake_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_lake_zorder_string_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order with a STRING dimension — the webtext-native case
+    (``lake/zorder.py _rank_expr``: order-preserving 6-byte UTF-8 prefix
+    proxy, exact in a double, for the quantizer; pruning soundness rests
+    on the REAL string min/max in the zonemaps).  ``documents`` cluster
+    on (source, n_chars); an equality probe on the string dimension AND
+    a ~20%-wide window on the numeric one must BOTH skip files (the
+    query raises otherwise).  Returned rows are the source probe's
+    pruned read + residual filter, so the oracle checks values too."""
+    from aus_land_data_etl_spark.lake.table import LakeTable
+    from aus_land_data_etl_spark.lake.zorder import cluster_zorder
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="cdc_zstr_")
+    try:
+        table = LakeTable.create(
+            spark,
+            d,
+            schema=docs.schema,
+            key_col="doc_id",
+            version_col="n_chars",
+            n_buckets=2,
+            properties={"stats_cols": ["source", "n_chars"]},
+        )
+        table.overwrite(docs)
+        cluster_zorder(
+            table,
+            ["source", "n_chars"],
+            bits=5,
+            files_per_bucket=8,
+            tiebreak_col="doc_id",
+        )
+        for preds in (
+            [("source", "==", "src13")],
+            [("n_chars", ">=", 100), ("n_chars", "<", 200)],
+        ):
+            _, skipped = table.plan_scan(predicates=preds)
+            if not skipped:
+                raise RuntimeError(f"string z-order skipped no files for {preds}")
+        out = (
+            table.read(predicates=[("source", "==", "src13")])
+            .filter(F.col("source") == "src13")
+            .select("doc_id", "source", "n_chars")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_LAKE_ZORDER_STRING_PRUNE = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE source = 'src13'
+"""
+
+
 ORACLE_LAKE_ZORDER_INCREMENTAL = """
 WITH b AS (
   SELECT MIN(o_custkey) + 0.45e0 * (MAX(o_custkey) - MIN(o_custkey)) AS lo_ck,
@@ -3298,6 +3354,7 @@ QUERIES: dict[str, QueryFn] = {
     "domain_mix_sample": q_domain_mix_sample,
     "lake_zorder_prune": q_lake_zorder_prune,
     "lake_zorder_incremental": q_lake_zorder_incremental,
+    "lake_zorder_string_prune": q_lake_zorder_string_prune,
     # --- (c) green in r04 ---
     "cdc_engine_converge": q_cdc_engine_converge,
     "cdc_schema_evolution_converge": q_cdc_schema_evolution_converge,
@@ -3393,6 +3450,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences_bucketed": ORACLE_PACK_SEQUENCES_BUCKETED,
     "lake_zorder_prune": ORACLE_LAKE_ZORDER_PRUNE,
     "lake_zorder_incremental": ORACLE_LAKE_ZORDER_INCREMENTAL,
+    "lake_zorder_string_prune": ORACLE_LAKE_ZORDER_STRING_PRUNE,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "corpus_build": ORACLE_CORPUS_BUILD,
     # the LSH scale path must equal the exact path's output row-for-row
