@@ -109,7 +109,8 @@ def main(argv: list[str] | None = None) -> None:
             cluster_zorder_buckets,
         )
 
-        assert args.zorder_cols, "--zorder-cols required"
+        if not args.zorder_cols:
+            p.error("--zorder-cols is required for zorder mode")
         cols = [c.strip() for c in args.zorder_cols.split(",") if c.strip()]
         if args.incremental:
             v = cluster_zorder_buckets(

@@ -120,6 +120,7 @@ def merge_into(
         pre_bucketed=True,
         wal_offsets=wal_offsets,
         properties_update=properties_update,
+        computed_from=snap,
     )
 
 
@@ -247,6 +248,7 @@ def merge_patch_into(
         epoch_id=epoch_id,
         pre_bucketed=True,
         wal_offsets=wal_offsets,
+        computed_from=snap,
     )
 
 
@@ -567,6 +569,7 @@ def fold_deltas(table: LakeTable, tiebreak_col: str, min_stack: int = 1) -> int:
         touched_buckets=touched,
         schema=resolved.drop(BUCKET_COL).schema,
         pre_bucketed=True,
+        computed_from=snap,
     )
 
 
@@ -633,7 +636,7 @@ def append_if_absent(table: LakeTable, rows: DataFrame) -> int:
         BUCKET_COL, bucket_expr(key, snap.n_buckets)
     )
     return table.commit_buckets(
-        merged, touched_buckets=touched, pre_bucketed=True
+        merged, touched_buckets=touched, pre_bucketed=True, computed_from=snap
     )
 
 

@@ -1214,8 +1214,20 @@ class LakeTable:
         properties_update: dict[str, Any] | None = None,
         cluster_key: Column | None = None,
         files_per_bucket: int = 1,
+        computed_from: "Snapshot | None" = None,
     ) -> int:
         """Copy-on-write commit: replace data for ``touched_buckets`` only.
+
+        ``computed_from`` — the snapshot the caller's rewrite actually
+        READ.  When the planning phase runs long Spark jobs between the
+        read and this commit (the incremental z-order's quantile pass, a
+        fold's resolution), a concurrent delta landing in a touched
+        bucket during that window would otherwise be popped from
+        ``delta_files`` without its rows ever having been read — a
+        silent lost update with no descriptor race to trip on.  Passing
+        the planning snapshot makes the input check cover the whole
+        read→commit span: the commit raises ``ConflictError`` if the
+        touched inputs moved, exactly as it does on a descriptor race.
 
         ``cluster_key`` switches the touched buckets' write layout to
         ``files_per_bucket`` contiguous cluster-key ranges per bucket
@@ -1242,10 +1254,30 @@ class LakeTable:
         ``ConflictError`` and the caller re-runs the merge.
         """
         snap = self.snapshot()
-        orig = snap
+        orig = computed_from if computed_from is not None else snap
         wm_rows = manifest_rows if wal_offsets else None
         if snap.is_applied(epoch_id, wm_rows):
             return snap.version  # exactly-once: batch already applied
+
+        def _same_inputs(cur) -> bool:
+            return (
+                cur.n_buckets == orig.n_buckets
+                and cur.delta_files.get("*", []) == orig.delta_files.get("*", [])
+                and all(
+                    cur.bucket_files.get(str(b), [])
+                    == orig.bucket_files.get(str(b), [])
+                    and cur.delta_files.get(str(b), [])
+                    == orig.delta_files.get(str(b), [])
+                    for b in touched_buckets
+                )
+            )
+
+        if computed_from is not None and not _same_inputs(snap):
+            raise ConflictError(
+                "a commit landed in the touched buckets between the "
+                f"rewrite's read snapshot (v{orig.version}) and this commit "
+                f"(current v{snap.version}); re-run against the fresh snapshot"
+            )
         new_version = snap.version + 1
         assert isinstance(replaced, DataFrame)
         new_files = self._write_bucket_data(
@@ -1324,18 +1356,7 @@ class LakeTable:
                 snap = self.snapshot()
                 if snap.is_applied(epoch_id, wm_rows):
                     return snap.version  # racer applied this very batch
-                same_inputs = (
-                    snap.n_buckets == orig.n_buckets
-                    and snap.delta_files.get("*", []) == orig.delta_files.get("*", [])
-                    and all(
-                        snap.bucket_files.get(str(b), [])
-                        == orig.bucket_files.get(str(b), [])
-                        and snap.delta_files.get(str(b), [])
-                        == orig.delta_files.get(str(b), [])
-                        for b in touched_buckets
-                    )
-                )
-                if not same_inputs:
+                if not _same_inputs(snap):
                     raise ConflictError(
                         "concurrent commit touched the buckets this rewrite "
                         f"read ({touched_buckets}); re-run the merge against "

@@ -197,14 +197,22 @@ def cluster_zorder(
     if files_per_bucket < 1:
         raise ValueError(f"files_per_bucket must be >= 1, got {files_per_bucket}")
     resolved = table.read_resolved(tiebreak_col=tiebreak_col)
-    bounds = quantile_bounds(resolved, cols, bits=bits, rel_err=rel_err)
-    str_cols = frozenset(
-        c for c in cols if isinstance(resolved.schema[c].dataType, T.StringType)
-    )
-    key = zorder_key(bounds, bits=bits, string_cols=str_cols)
+    key = _cluster_key_for(resolved, cols, bits=bits, rel_err=rel_err)
     return table.overwrite(
         resolved, cluster_key=key, files_per_bucket=files_per_bucket
     )
+
+
+def _cluster_key_for(
+    df: DataFrame, cols: list[str], bits: int, rel_err: float
+) -> Column:
+    """One ``approxQuantile`` planning pass + the matching row-side Morton
+    key (string dimensions route through the rank proxy on BOTH sides)."""
+    bounds = quantile_bounds(df, cols, bits=bits, rel_err=rel_err)
+    str_cols = frozenset(
+        c for c in cols if isinstance(df.schema[c].dataType, T.StringType)
+    )
+    return zorder_key(bounds, bits=bits, string_cols=str_cols)
 
 
 def _check_stats_cols(snap, cols: list[str]) -> None:
@@ -279,11 +287,7 @@ def cluster_zorder_buckets(
     if not buckets:
         return snap.version
     resolved = table.read_resolved(buckets=buckets, tiebreak_col=tiebreak_col)
-    bounds = quantile_bounds(resolved, cols, bits=bits, rel_err=rel_err)
-    str_cols = frozenset(
-        c for c in cols if isinstance(resolved.schema[c].dataType, T.StringType)
-    )
-    key = zorder_key(bounds, bits=bits, string_cols=str_cols)
+    key = _cluster_key_for(resolved, cols, bits=bits, rel_err=rel_err)
     # patch tables: resolution consumed _set_cols and materialised _cvers;
     # align so delta layers surviving in OTHER buckets stay readable
     resolved = _align_to(resolved, snap.schema)
@@ -296,4 +300,5 @@ def cluster_zorder_buckets(
         schema=resolved.drop(BUCKET_COL).schema,
         cluster_key=key,
         files_per_bucket=files_per_bucket,
+        computed_from=snap,
     )

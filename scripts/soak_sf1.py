@@ -9,6 +9,11 @@ WAL tranches over ONE checkpoint lineage, with — all live at once —
   - an inline incrementally-maintained AggView (refreshed per batch),
   - a durable ChangelogSubscription consumer polled between tranches,
     mirroring net changes into its own keyed sink,
+  - (round 5) incremental Z-ORDER maintenance: a bucket-scoped
+    ``cluster_zorder_buckets`` after tranche 1 with the AggView and the
+    subscription live (the changelog must emit a NO-OP across it — the
+    mirror and the view would drift otherwise), and a final full-depth
+    pass; the run then asserts a warc_ts window prunes files,
 then audits the lineage trail (no offset gaps/overlaps, contiguous
 coverage) and verifies convergence three ways:
   1. final table LWW winners == a DuckDB oracle over the raw event
@@ -18,7 +23,7 @@ coverage) and verifies convergence three ways:
   4. per-row text == extraction of the winning event's html bytes
      (the byte-identical text-per-url invariant, checked exhaustively).
 
-Writes one JSON line to stdout and SOAK_r04.json at the repo root.
+Writes one JSON line to stdout and SOAK_r05.json at the repo root.
 
 Usage: python scripts/soak_sf1.py [n_events] [cores]
 Defaults: 2_000_000 events, 32 cores (local[32]).
@@ -141,6 +146,17 @@ def main() -> None:
             )
             stream_secs += time.monotonic() - t0
             batches += res.batches
+            if t == 1:
+                # mid-stream incremental z-order with the AggView + the
+                # subscription cursor live: must be a changelog no-op
+                from aus_land_data_etl_spark.lake.zorder import (
+                    cluster_zorder_buckets,
+                )
+
+                cluster_zorder_buckets(
+                    table, ["warc_ts", "lang"], min_files=2, bits=5,
+                    files_per_bucket=2,
+                )
             polled_rows = drain_subscription()
             print(
                 f"tranche {t}: batches={res.batches} rows={res.rows} "
@@ -150,6 +166,27 @@ def main() -> None:
         result["micro_batches"] = batches
         result["stream_secs"] = round(stream_secs, 1)
         result["events_per_sec"] = round(n_physical / stream_secs, 1)
+        # final full-depth incremental z-order, then the pruning claim:
+        # LWW winners concentrate near the top of the warc_ts range, so
+        # probe at the 95% mark (window must both keep and skip files)
+        from aus_land_data_etl_spark.lake.zorder import cluster_zorder_buckets
+
+        cluster_zorder_buckets(
+            table, ["warc_ts", "lang"], min_files=1, bits=6,
+            files_per_bucket=4,
+        )
+        polled_rows = drain_subscription()  # zorder diff must be empty
+        result["mirror_rows_after_final_zorder"] = polled_rows
+        view.refresh()  # O(changes)=0 across the zorder commit
+        mnmx = table.read().agg(
+            F.min("warc_ts").alias("mn"), F.max("warc_ts").alias("mx")
+        ).first()
+        cut = mnmx["mn"] + (mnmx["mx"] - mnmx["mn"]) * 19 // 20
+        zo_kept, zo_skipped = table.plan_scan(
+            predicates=[("warc_ts", "<", cut)]
+        )
+        result["zorder_files_kept"] = len(zo_kept)
+        result["zorder_files_skipped"] = len(zo_skipped)
         result["final_version"] = table.current_version()
         snap = table.snapshot()
         result["delta_stacks_remaining"] = sum(
@@ -246,6 +283,8 @@ def main() -> None:
         result["text_invariant_mismatches"] = int(mismatches)
         assert mismatches == 0
 
+        assert result["zorder_files_skipped"] > 0, "z-order window skipped nothing"
+        assert result["zorder_files_kept"] > 0, "z-order window kept nothing"
         result["wall_secs"] = round(time.monotonic() - t_all, 1)
         result["ok"] = True
     finally:
@@ -253,7 +292,7 @@ def main() -> None:
 
     line = json.dumps(result)
     print(line)
-    with open(os.path.join(_REPO, "SOAK_r04.json"), "w") as f:
+    with open(os.path.join(_REPO, "SOAK_r05.json"), "w") as f:
         f.write(line + "\n")
 
 

@@ -153,3 +153,66 @@ def test_rebucket_mid_commit(spark, tmp_table_dir, monkeypatch):
     # the table itself is fine: re-applying against the new layout works
     apply_batch(t1, _seg(events, 2), epoch=2, compact_depth=99)
     assert t1.snapshot().n_buckets == 16
+
+
+def test_commit_refuses_stale_planning_snapshot(spark, tmp_table_dir):
+    """Lost-update guard (round-5 review): a rewrite planned against
+    snapshot v must NOT commit if a delta landed in a touched bucket
+    while its planning jobs (e.g. the z-order quantile pass) ran — even
+    though no descriptor race occurs.  commit_buckets(computed_from=v)
+    raises ConflictError instead of silently popping the unread delta,
+    and a re-run against the fresh snapshot keeps the late rows."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from aus_land_data_etl_spark.lake.merge import delta_merge_into, read_current
+    from aus_land_data_etl_spark.lake.table import BUCKET_COL, bucket_expr
+    from aus_land_data_etl_spark.lake.zorder import cluster_zorder_buckets
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("event_id", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, tmp_table_dir, schema=schema, key_col="url",
+        version_col="warc_ts", n_buckets=2,
+        properties={"stats_cols": ["warc_ts"]},
+    )
+    rows = [
+        (f"u{i}", dt.datetime(2024, 1, 1, 0, 0, i % 50), f"e{i}", f"t{i}")
+        for i in range(40)
+    ]
+    t.overwrite(spark.createDataFrame(rows, schema))
+    planning_snap = t.snapshot()  # the rewrite "reads" here
+
+    # a concurrent writer lands a delta while the planning jobs run
+    late = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 2), "e-late", "late-win")], schema
+    ).withColumn("op", F.lit("update"))
+    delta_merge_into(t, late, "event_id", compact_depth=100, fanout=False)
+
+    # the stale rewrite: resolved rows FROM the planning snapshot
+    resolved = t.read(version=planning_snap.version).withColumn(
+        BUCKET_COL, bucket_expr("url", planning_snap.n_buckets)
+    )
+    with pytest.raises(ConflictError, match="read snapshot"):
+        t.commit_buckets(
+            resolved,
+            touched_buckets=[0, 1],
+            pre_bucketed=True,
+            computed_from=planning_snap,
+        )
+    # nothing lost: the late row still wins
+    winner = {r["url"]: r["text"] for r in read_current(t, "event_id").collect()}
+    assert winner["u1"] == "late-win"
+
+    # and the maintenance entrypoint re-planned against the fresh
+    # snapshot succeeds, preserving the late row
+    cluster_zorder_buckets(t, ["warc_ts"], min_files=1, files_per_bucket=2)
+    winner = {r["url"]: r["text"] for r in read_current(t, "event_id").collect()}
+    assert winner["u1"] == "late-win"
