@@ -103,7 +103,10 @@ def create_pages_table(
             # whole files via plan_scan; each MoR delta layer covers one
             # epoch's narrow warc_ts band, so time predicates prune old
             # epochs without opening them.
-            "stats_cols": ["warc_ts", "lang"],
+            # "is_deleted" additionally records per-file live-row counts
+            # (stats.py `dels`) so COUNT over the serving view answers
+            # from metadata (lake/metadata_agg.py), Iceberg-manifest style.
+            "stats_cols": ["warc_ts", "lang", "is_deleted"],
             # cluster rows by version time inside each bucket file —
             # tight zonemaps + better RLE; per-partition sort, no shuffle.
             "sort_cols": ["warc_ts"],

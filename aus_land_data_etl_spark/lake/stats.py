@@ -59,8 +59,11 @@ def _encode(v: Any) -> Any:
     order == chronological order), numbers stay numbers, strings stay
     strings.  Returns None for types we do not stat (binary, nested).
     """
-    if isinstance(v, bool):  # bool is an int subclass; reject explicitly
-        return None
+    if isinstance(v, bool):
+        # bool is an int subclass — encode explicitly as 0/1 so boolean
+        # zonemaps (e.g. the tombstone column) are usable: hi == 0 proves
+        # a file holds no True, lo == 1 proves it holds nothing else.
+        return int(v)
     if isinstance(v, (int, float)):
         return v
     if isinstance(v, _dt.datetime):
@@ -93,19 +96,30 @@ def collect_file_stats(
     Entry shape::
 
         {"rows": 123,
-         "cols": {"warc_ts": {"lo": "...", "hi": "...", "nulls": 0}}}
+         "cols": {"warc_ts": {"lo": "...", "hi": "...", "nulls": 0}},
+         "dels": 4}          # only when "is_deleted" is a stat column
 
     A column chunk without usable statistics simply has no entry under
     ``cols`` (→ never pruned on that column).  An all-NULL column is
     recorded with ``lo = hi = None`` and ``nulls == rows`` — definitive
     evidence no value exists, so every value predicate prunes it.
+
+    ``dels`` — the EXACT number of rows the serving view hides (tombstone
+    ``is_deleted`` True, or NULL): Iceberg keeps ``record_count`` per
+    file so COUNT answers from manifests; with tombstones retained in the
+    base the live count is ``rows - dels``.  Derived free from the
+    boolean zonemap when the file is homogeneous; a tombstone-mixed file
+    costs one single-column read — at write time, on files just written
+    (OS-cache-hot), of the most RLE-compressible column there is.  On a
+    real cluster the writer task would fold this count in-flight.
     """
     import pyarrow.parquet as pq
 
     wanted = set(stat_cols)
     out: dict[str, dict[str, Any]] = {}
     for rel in rel_paths:
-        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        path = os.path.join(root, rel)
+        md = pq.ParquetFile(path).metadata
         if md.num_row_groups == 0:
             out[rel] = {"rows": 0, "cols": {}}
             continue
@@ -141,8 +155,36 @@ def collect_file_stats(
                 hi = e_hi if hi is None else max(hi, e_hi)
             if usable:
                 cols[name] = {"lo": lo, "hi": hi, "nulls": nulls}
-        out[rel] = {"rows": md.num_rows, "cols": cols}
+        entry: dict[str, Any] = {"rows": md.num_rows, "cols": cols}
+        if "is_deleted" in wanted and "is_deleted" in name_to_idx:
+            entry["dels"] = _count_dels(path, md.num_rows, cols.get("is_deleted"))
+        out[rel] = entry
     return out
+
+
+def _count_dels(path: str, rows: int, dst: dict[str, Any] | None) -> int:
+    """Exact count of serving-hidden rows (``is_deleted`` True or NULL).
+
+    Free when the boolean zonemap is homogeneous; otherwise one
+    single-column read of the file just written (see
+    :func:`collect_file_stats` docstring for the at-scale rationale).
+    """
+    if rows == 0:
+        return 0
+    if dst is not None:
+        lo, hi, nulls = dst.get("lo"), dst.get("hi"), dst.get("nulls", 0)
+        if lo is None and hi is None:
+            return rows  # all NULL: nothing live
+        if nulls == 0 and hi == 0:
+            return 0
+        if nulls == 0 and lo == 1:
+            return rows
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(path, columns=["is_deleted"]).column(0)
+    live = pc.sum(pc.invert(col.combine_chunks())).as_py() or 0
+    return rows - int(live)
 
 
 def _matches(entry: dict[str, Any] | None, col: str, op: str, value: Any) -> bool:
@@ -188,6 +230,57 @@ def _comparable(a: Any, b: Any) -> bool:
     return (isinstance(a, num) and isinstance(b, num)) or (
         isinstance(a, str) and isinstance(b, str)
     )
+
+
+def proves_all_match(
+    entry: dict[str, Any] | None, predicates: list[tuple]
+) -> bool:
+    """Does the zonemap PROVE that EVERY row in the file satisfies all
+    ``predicates``?  The dual of :func:`_matches` — used by metadata-only
+    aggregates (``lake/metadata_agg.py``) to answer COUNT from manifests
+    without opening the file.  Conservative in the opposite direction:
+    False unless the stats *definitively* include the whole file.
+
+    Requires ``nulls == 0`` on every predicate column: a NULL never
+    satisfies a value predicate, so one NULL row breaks the "all rows
+    match" claim even when the bounds are inside the range.
+    """
+    if not entry:
+        return False
+    for col, op, value in predicates:
+        cst = entry.get("cols", {}).get(col)
+        if cst is None or cst.get("nulls", 1) != 0:
+            return False
+        lo, hi = cst.get("lo"), cst.get("hi")
+        if lo is None or hi is None:
+            return False
+        if op == "between":
+            p_lo, p_hi = encode_value(value[0]), encode_value(value[1])
+            if p_lo is None or p_hi is None or not _comparable(lo, p_lo):
+                return False
+            if not (p_lo <= lo and hi <= p_hi):
+                return False
+            continue
+        v = encode_value(value)
+        if v is None or not _comparable(lo, v):
+            return False
+        if op == "==":
+            ok = lo == v == hi
+        elif op == "<":
+            ok = hi < v
+        elif op == "<=":
+            ok = hi <= v
+        elif op == ">":
+            ok = lo > v
+        elif op == ">=":
+            ok = lo >= v
+        else:
+            raise ValueError(
+                f"unknown predicate op {op!r} (use one of {sorted(_OPS)})"
+            )
+        if not ok:
+            return False
+    return True
 
 
 def prune_files(

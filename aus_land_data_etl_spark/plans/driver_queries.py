@@ -2902,6 +2902,83 @@ def q_lake_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_lake_count_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style COUNT-from-manifests over the serving view: the CDC
+    stream is applied, folded, and z-ordered by ``warc_ts``; per-file
+    stats then carry exact live-row counts (rows − tombstones), so the
+    unpredicated COUNT answers with ZERO data files opened and the
+    windowed COUNTs open only the boundary files their window cuts
+    through (``lake/metadata_agg.py``).  The query raises unless the
+    metadata path actually engaged, so the driver check covers both the
+    values and the zero-scan claim."""
+    import datetime as _dt
+
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.merge import fold_deltas
+    from aus_land_data_etl_spark.lake.metadata_agg import count_current
+    from aus_land_data_etl_spark.lake.zorder import cluster_zorder
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_cnt_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        for i in range(4):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            apply_batch(table, batch, epoch=i)
+        fold_deltas(table, "event_id")
+        cluster_zorder(table, ["warc_ts"], files_per_bucket=4)
+        windows = [
+            ("all", None, None),
+            ("w1", _dt.datetime(2024, 1, 5), _dt.datetime(2024, 1, 12)),
+            ("w2", _dt.datetime(2024, 1, 12), _dt.datetime(2024, 1, 19)),
+            ("w3", _dt.datetime(2024, 1, 19), _dt.datetime(2024, 1, 26)),
+        ]
+        rows, n_meta, n_scanned = [], 0, 0
+        for wid, lo, hi in windows:
+            preds = []
+            if lo is not None:
+                preds = [("warc_ts", ">=", lo), ("warc_ts", "<", hi)]
+            plan = count_current(table, predicates=preds)
+            if plan.fallback:
+                raise RuntimeError(f"window {wid} fell back to a full scan")
+            if wid == "all" and plan.scanned_files:
+                raise RuntimeError(
+                    f"unpredicated count opened {len(plan.scanned_files)} "
+                    "files; expected a pure-metadata answer"
+                )
+            n_meta += len(plan.metadata_files)
+            n_scanned += len(plan.scanned_files)
+            rows.append((wid, plan.count))
+        if n_meta == 0:
+            raise RuntimeError("no file was ever answered from metadata")
+        return spark.createDataFrame(rows, "window_id string, cnt long")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_LAKE_COUNT_METADATA = """
+WITH ranked AS (
+  SELECT ts, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+), cur AS (
+  SELECT ts FROM ranked WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT 'all' AS window_id, COUNT(*) AS cnt FROM cur
+UNION ALL
+SELECT 'w1', COUNT(*) FROM cur
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+UNION ALL
+SELECT 'w2', COUNT(*) FROM cur
+WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-19'
+UNION ALL
+SELECT 'w3', COUNT(*) FROM cur
+WHERE ts >= TIMESTAMP '2024-01-19' AND ts < TIMESTAMP '2024-01-26'
+"""
+
+
 ORACLE_LAKE_STATS_PRUNE = """
 SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
        ts AS warc_ts,
@@ -3355,6 +3432,7 @@ QUERIES: dict[str, QueryFn] = {
     "lake_zorder_prune": q_lake_zorder_prune,
     "lake_zorder_incremental": q_lake_zorder_incremental,
     "lake_zorder_string_prune": q_lake_zorder_string_prune,
+    "lake_count_metadata": q_lake_count_metadata,
     # --- (c) green in r04 ---
     "cdc_engine_converge": q_cdc_engine_converge,
     "cdc_schema_evolution_converge": q_cdc_schema_evolution_converge,
@@ -3468,6 +3546,7 @@ ORACLES: dict[str, str] = {
     "cdc_compacted_converge": ORACLE_CDC_CONVERGE,
     "lake_changelog": ORACLE_LAKE_CHANGELOG,
     "lake_stats_prune": ORACLE_LAKE_STATS_PRUNE,
+    "lake_count_metadata": ORACLE_LAKE_COUNT_METADATA,
     "lake_point_lookup": ORACLE_LAKE_POINT_LOOKUP,
     "lake_delete_where": ORACLE_LAKE_DELETE_WHERE,
     "incr_agg_view": ORACLE_INCR_AGG_VIEW,

@@ -1,0 +1,141 @@
+"""Metadata-only COUNT over the serving view (lake/metadata_agg.py).
+
+Iceberg answers COUNT(*) from manifest record counts; this engine must do
+the same over a tombstone-retaining base, so the contract under test is:
+
+1. **Exactness, always**: ``count_current(...)`` equals
+   ``read_current(...).filter(preds).count()`` on every path — folded
+   metadata, residual-scan boundary, and MoR-fallback.
+2. **Zero jobs on the pure-metadata path**: a folded table with recorded
+   ``dels`` answers an unpredicated COUNT without launching ANY Spark job.
+3. **Effectiveness with predicates**: on a z-ordered table a time-window
+   COUNT answers interior files from metadata and scans only the
+   boundary files the window cuts through.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+from aus_land_data_etl_spark.cdc.generator import generate_events
+from aus_land_data_etl_spark.lake.merge import fold_deltas, read_current
+from aus_land_data_etl_spark.lake.metadata_agg import count_current
+from aus_land_data_etl_spark.lake.zorder import cluster_zorder
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return generate_events(spark, 3000, seed=91).cache()
+
+
+@pytest.fixture(scope="module")
+def folded_table(spark, events, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("meta_count"))
+    t = create_pages_table(spark, d, n_buckets=4)
+    for i in range(3):
+        b = events.filter(F.pmod(F.col("source_offset"), F.lit(3)) == i)
+        apply_batch(t, b, epoch=i)
+    fold_deltas(t, "event_id")
+    return t
+
+
+def test_unpredicated_count_is_pure_metadata(spark, folded_table):
+    expected = read_current(folded_table).count()
+    sc = spark.sparkContext
+    group = "meta-count-zero-jobs"
+    sc.setJobGroup(group, "metadata count")
+    try:
+        plan = count_current(folded_table)
+    finally:
+        sc.setJobGroup("", "")
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert plan.count == expected
+    assert not plan.fallback
+    assert plan.scanned_files == [] and plan.metadata_files
+    assert n_jobs == 0, f"pure-metadata count launched {n_jobs} Spark jobs"
+
+
+def test_dels_recorded_exactly(spark, folded_table):
+    snap = folded_table.snapshot()
+    # every live base file carries an exact dels count ...
+    rels = [f for fs in snap.bucket_files.values() for f in fs]
+    assert rels and all("dels" in snap.file_stats[r] for r in rels)
+    # ... and the per-file ledger sums to the true tombstone count
+    raw = folded_table.read(include_deltas=False)
+    hidden = raw.filter(
+        F.col("is_deleted").isNull() | F.col("is_deleted")
+    ).count()
+    assert sum(snap.file_stats[r]["dels"] for r in rels) == hidden
+
+
+def test_windowed_count_on_zordered_table(spark, folded_table):
+    cluster_zorder(folded_table, ["warc_ts"], files_per_bucket=4)
+    lo_hi = read_current(folded_table).agg(
+        F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")
+    ).first()
+    span = lo_hi["hi"] - lo_hi["lo"]
+    lo = lo_hi["lo"] + span * 0.25
+    hi = lo_hi["lo"] + span * 0.75
+    preds = [("warc_ts", ">=", lo), ("warc_ts", "<", hi)]
+    expected = (
+        read_current(folded_table)
+        .filter((F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") < F.lit(hi)))
+        .count()
+    )
+    plan = count_current(folded_table, predicates=preds)
+    assert plan.count == expected
+    assert not plan.fallback
+    # the window must engage the planner: some files pruned outright or
+    # answered from metadata, and the residual strictly smaller than the
+    # file population
+    n_all = len(plan.metadata_files) + len(plan.scanned_files) + len(
+        plan.pruned_files
+    )
+    assert plan.pruned_files or plan.metadata_files
+    assert len(plan.scanned_files) < n_all
+
+
+@pytest.mark.parametrize(
+    "frac", [(0.0, 1.0), (0.0, 0.4), (0.6, 1.0), (0.45, 0.55)]
+)
+def test_windowed_count_matches_serving_view(spark, folded_table, frac):
+    lo_hi = read_current(folded_table).agg(
+        F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")
+    ).first()
+    span = lo_hi["hi"] - lo_hi["lo"]
+    lo = lo_hi["lo"] + span * frac[0]
+    hi = lo_hi["lo"] + span * frac[1] + dt.timedelta(seconds=1)
+    preds = [("warc_ts", ">=", lo), ("warc_ts", "<", hi)]
+    expected = (
+        read_current(folded_table)
+        .filter((F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") < F.lit(hi)))
+        .count()
+    )
+    assert count_current(folded_table, predicates=preds).count == expected
+
+
+def test_mor_stack_falls_back_and_stays_exact(spark, events, tmp_path):
+    t = create_pages_table(spark, str(tmp_path / "mor"), n_buckets=4)
+    for i in range(3):
+        b = events.filter(F.pmod(F.col("source_offset"), F.lit(3)) == i)
+        apply_batch(t, b, epoch=i)
+    assert t.snapshot().delta_files  # live MoR stack
+    plan = count_current(t)
+    assert plan.fallback
+    assert plan.count == read_current(t).count()
+    # predicated fallback applies the row filter over the RESOLVED view
+    cut = events.agg(F.max("warc_ts")).first()[0]
+    preds = [("warc_ts", "<=", cut)]
+    assert count_current(t, predicates=preds).count == plan.count
+
+
+def test_equality_predicate_count(spark, folded_table):
+    expected = (
+        read_current(folded_table).filter(F.col("lang") == "en").count()
+    )
+    plan = count_current(folded_table, predicates=[("lang", "==", "en")])
+    assert plan.count == expected and not plan.fallback
