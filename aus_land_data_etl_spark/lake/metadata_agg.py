@@ -176,14 +176,165 @@ def count_current(
             residual.append(rel)
 
     if residual:
-        import os
+        df = _residual_read(table, snap, residual, has_del, preds)
+        plan.count += df.count()
+        plan.scanned_files = residual
+    return plan
 
-        paths = [os.path.join(table.root, r) for r in residual]
-        df = table.spark.read.schema(snap.schema).parquet(*paths)
-        if has_del:
-            df = df.filter(~F.col(_DELETED))
+
+def _residual_read(table, snap, rels, has_del, preds):
+    import os
+
+    paths = [os.path.join(table.root, r) for r in rels]
+    df = table.spark.read.schema(snap.schema).parquet(*paths)
+    if has_del:
+        df = df.filter(~F.col(_DELETED))
+    if preds:
+        df = df.filter(predicate_expr(preds))
+    return df
+
+
+@dataclass
+class BoundsPlan:
+    """Audit trail of a :func:`minmax_current` answer (see
+    :class:`CountPlan` for the field semantics)."""
+
+    lo: Any = None
+    hi: Any = None
+    count_nonnull: int = 0
+    metadata_files: list[str] = field(default_factory=list)
+    scanned_files: list[str] = field(default_factory=list)
+    pruned_files: list[str] = field(default_factory=list)
+    fallback: bool = False
+
+
+def _decode(dtype: Any, v: Any) -> Any:
+    """Invert ``stats._encode`` back to the column's Python type."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return dt.datetime.strptime(v, "%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(dtype, T.DateType):
+        return dt.date.fromisoformat(v)
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return int(v)
+    return v
+
+
+def minmax_current(
+    table: "LakeTable",
+    col: str,
+    predicates: list[tuple] | None = None,
+    tiebreak_col: str = "event_id",
+    version: int | None = None,
+) -> BoundsPlan:
+    """Exact MIN/MAX/COUNT(col) of the current serving view, metadata-first.
+
+    Equals ``read_current(table).filter(<preds>).agg(min, max,
+    count(col))`` — answered from the per-file zonemaps wherever they
+    prove exactness, with only boundary files scanned.  Soundness rules
+    (each routes the file to the residual scan when unmet):
+
+    - **String bounds are used only when recorded.**  A truncated
+      BYTE_ARRAY statistic would be sound for *pruning* but is not an
+      actual value, so it could not be returned as an exact MIN/MAX.
+      Spark's parquet writer (parquet-mr) never records truncated chunk
+      stats — past ~4 KB it OMITS min/max entirely (verified empirically
+      against the pinned runtime; a stat-less column simply routes to
+      the residual scan, never to a wrong answer).  Binary columns are
+      excluded outright.
+    - **Tombstones.**  Parquet bounds ignore NULLs, and a tombstone row
+      stores NULL in every payload cell (pinned by
+      ``tests/test_metadata_agg.py``), so payload-column bounds are
+      live-rows-only for free.  For the key/version/tiebreak columns —
+      which tombstones DO populate — the file must prove ``dels == 0``.
+      A file whose ``is_deleted`` column has NULLs proves nothing
+      (those rows hide from the serving view with payloads intact).
+    - **Predicates.**  Only files whose zonemap proves EVERY row matches
+      (``stats.proves_all_match``) contribute bounds; range-cut files
+      are scanned.
+
+    ``count_nonnull`` rides along because it falls out of the same
+    entries (``rows - nulls``) and is the COUNT(col) SQL semantic.
+    """
+    from pyspark.sql import types as T
+
+    preds = list(predicates or [])
+    snap = table.snapshot(version)
+    names = {f.name for f in snap.schema.fields}
+    if col not in names:
+        raise ValueError(f"unknown column {col!r}")
+    dtype = snap.schema[col].dataType
+    has_del = _DELETED in names
+
+    if snap.delta_files:
+        from aus_land_data_etl_spark.lake.merge import read_current
+
+        cols = sorted({c for c, _, _ in preds} | {col})
+        df = read_current(table, tiebreak_col=tiebreak_col, columns=cols)
         if preds:
             df = df.filter(predicate_expr(preds))
-        plan.count += df.count()
+        row = df.agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi"),
+            F.count(col).alias("n"),
+        ).first()
+        return BoundsPlan(
+            lo=row["lo"], hi=row["hi"], count_nonnull=int(row["n"]),
+            fallback=True,
+        )
+
+    binary = isinstance(dtype, T.BinaryType)
+    payload = col not in {snap.key_col, snap.version_col, tiebreak_col}
+
+    rels: list[str] = []
+    for fs in snap.bucket_files.values():
+        rels.extend(fs)
+    kept, skipped = prune_files(snap.file_stats, rels, preds)
+
+    plan = BoundsPlan(pruned_files=list(skipped))
+    residual: list[str] = []
+    for rel in kept:
+        entry = snap.file_stats.get(rel)
+        if entry is None or binary:
+            residual.append(rel)
+            continue
+        dels = _file_dels(entry, has_del)
+        if dels is not None and dels == int(entry["rows"]):
+            plan.metadata_files.append(rel)  # nothing live: contributes 0
+            continue
+        dst = entry.get("cols", {}).get(_DELETED) if has_del else None
+        tomb_ok = (
+            not has_del
+            or (payload and dst is not None and dst.get("nulls", 1) == 0)
+            or dels == 0
+        )
+        cst = entry.get("cols", {}).get(col)
+        if not tomb_ok or cst is None or not proves_all_match(entry, preds):
+            residual.append(rel)
+            continue
+        lo, hi = _decode(dtype, cst.get("lo")), _decode(dtype, cst.get("hi"))
+        if lo is not None:
+            plan.lo = lo if plan.lo is None else min(plan.lo, lo)
+            plan.hi = hi if plan.hi is None else max(plan.hi, hi)
+        plan.count_nonnull += int(entry["rows"]) - int(cst.get("nulls", 0))
+        plan.metadata_files.append(rel)
+
+    if residual:
+        row = (
+            _residual_read(table, snap, residual, has_del, preds)
+            .agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi"),
+                F.count(col).alias("n"),
+            )
+            .first()
+        )
+        if row["lo"] is not None:
+            plan.lo = row["lo"] if plan.lo is None else min(plan.lo, row["lo"])
+            plan.hi = row["hi"] if plan.hi is None else max(plan.hi, row["hi"])
+        plan.count_nonnull += int(row["n"])
         plan.scanned_files = residual
     return plan

@@ -2979,6 +2979,112 @@ WHERE ts >= TIMESTAMP '2024-01-19' AND ts < TIMESTAMP '2024-01-26'
 """
 
 
+def q_lake_minmax_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only MIN/MAX/COUNT (``lake/metadata_agg.minmax_current``):
+    orders land in a LakeTable z-ordered by ``o_totalprice``, so a price
+    window answers min/max/count of the order date AND the priority
+    string from the per-file zonemaps of interior files, scanning only
+    the files the window cuts through.  Exercises the timestamp and
+    string bound decoders; raises unless the metadata path engaged and
+    the windows pruned files, so the driver check covers the claims.
+    Window bounds use IEEE double arithmetic the DuckDB oracle
+    reproduces bit-for-bit (0.3e0/0.6e0 literals)."""
+    from aus_land_data_etl_spark.lake.metadata_agg import minmax_current
+    from aus_land_data_etl_spark.lake.table import LakeTable
+    from aus_land_data_etl_spark.lake.zorder import cluster_zorder
+
+    orders = _t(spark, sf_dir, "orders")
+    mn_tp, mx_tp = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    cut1 = mn_tp + 0.3 * (mx_tp - mn_tp)
+    cut2 = mn_tp + 0.6 * (mx_tp - mn_tp)
+    d = tempfile.mkdtemp(prefix="cdc_mm_")
+    try:
+        table = LakeTable.create(
+            spark,
+            d,
+            schema=orders.schema,
+            key_col="o_orderkey",
+            version_col="o_orderdate",
+            n_buckets=4,
+            properties={
+                "stats_cols": ["o_totalprice", "o_orderdate", "o_orderpriority"]
+            },
+        )
+        table.overwrite(orders)
+        cluster_zorder(
+            table, ["o_totalprice"], bits=6, files_per_bucket=8,
+            tiebreak_col="o_orderkey",
+        )
+        windows = [
+            ("all", None, None),
+            ("lo", None, cut1),
+            ("mid", cut1, cut2),
+            ("hi", cut2, None),
+        ]
+        rows, n_meta, n_pruned = [], 0, 0
+        for wid, lo, hi in windows:
+            preds = []
+            if lo is not None:
+                preds.append(("o_totalprice", ">=", lo))
+            if hi is not None:
+                preds.append(("o_totalprice", "<", hi))
+            kw = dict(predicates=preds, tiebreak_col="o_orderkey")
+            p_date = minmax_current(table, "o_orderdate", **kw)
+            p_prio = minmax_current(table, "o_orderpriority", **kw)
+            for p in (p_date, p_prio):
+                if p.fallback:
+                    raise RuntimeError(f"window {wid} fell back to a full scan")
+                n_meta += len(p.metadata_files)
+                n_pruned += len(p.pruned_files)
+            if p_date.count_nonnull != p_prio.count_nonnull:
+                raise RuntimeError("count disagreement between columns")
+            rows.append(
+                (wid, p_date.lo, p_date.hi, p_prio.lo, p_prio.hi,
+                 p_date.count_nonnull)
+            )
+        if n_meta == 0:
+            raise RuntimeError("no file was ever answered from metadata")
+        if n_pruned == 0:
+            raise RuntimeError("the price windows pruned no files")
+        return spark.createDataFrame(
+            rows,
+            "window_id string, date_lo timestamp, date_hi timestamp, "
+            "prio_lo string, prio_hi string, cnt long",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_LAKE_MINMAX_METADATA = """
+WITH b AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+), w AS (
+  SELECT mn + 0.3e0 * (mx - mn) AS cut1, mn + 0.6e0 * (mx - mn) AS cut2
+  FROM b
+)
+SELECT 'all' AS window_id,
+       MIN(o_orderdate) AS date_lo, MAX(o_orderdate) AS date_hi,
+       MIN(o_orderpriority) AS prio_lo, MAX(o_orderpriority) AS prio_hi,
+       CAST(COUNT(o_orderdate) AS BIGINT) AS cnt
+FROM orders
+UNION ALL
+SELECT 'lo', MIN(o_orderdate), MAX(o_orderdate),
+       MIN(o_orderpriority), MAX(o_orderpriority),
+       CAST(COUNT(o_orderdate) AS BIGINT)
+FROM orders, w WHERE o_totalprice < w.cut1
+UNION ALL
+SELECT 'mid', MIN(o_orderdate), MAX(o_orderdate),
+       MIN(o_orderpriority), MAX(o_orderpriority),
+       CAST(COUNT(o_orderdate) AS BIGINT)
+FROM orders, w WHERE o_totalprice >= w.cut1 AND o_totalprice < w.cut2
+UNION ALL
+SELECT 'hi', MIN(o_orderdate), MAX(o_orderdate),
+       MIN(o_orderpriority), MAX(o_orderpriority),
+       CAST(COUNT(o_orderdate) AS BIGINT)
+FROM orders, w WHERE o_totalprice >= w.cut2
+"""
+
+
 ORACLE_LAKE_STATS_PRUNE = """
 SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
        ts AS warc_ts,
@@ -3433,6 +3539,7 @@ QUERIES: dict[str, QueryFn] = {
     "lake_zorder_incremental": q_lake_zorder_incremental,
     "lake_zorder_string_prune": q_lake_zorder_string_prune,
     "lake_count_metadata": q_lake_count_metadata,
+    "lake_minmax_metadata": q_lake_minmax_metadata,
     # --- (c) green in r04 ---
     "cdc_engine_converge": q_cdc_engine_converge,
     "cdc_schema_evolution_converge": q_cdc_schema_evolution_converge,
@@ -3547,6 +3654,7 @@ ORACLES: dict[str, str] = {
     "lake_changelog": ORACLE_LAKE_CHANGELOG,
     "lake_stats_prune": ORACLE_LAKE_STATS_PRUNE,
     "lake_count_metadata": ORACLE_LAKE_COUNT_METADATA,
+    "lake_minmax_metadata": ORACLE_LAKE_MINMAX_METADATA,
     "lake_point_lookup": ORACLE_LAKE_POINT_LOOKUP,
     "lake_delete_where": ORACLE_LAKE_DELETE_WHERE,
     "incr_agg_view": ORACLE_INCR_AGG_VIEW,

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
 from aus_land_data_etl_spark.cdc.generator import generate_events
 from aus_land_data_etl_spark.lake.merge import fold_deltas, read_current
-from aus_land_data_etl_spark.lake.metadata_agg import count_current
+from aus_land_data_etl_spark.lake.metadata_agg import count_current, minmax_current
 from aus_land_data_etl_spark.lake.zorder import cluster_zorder
 
 
@@ -131,6 +131,93 @@ def test_mor_stack_falls_back_and_stays_exact(spark, events, tmp_path):
     cut = events.agg(F.max("warc_ts")).first()[0]
     preds = [("warc_ts", "<=", cut)]
     assert count_current(t, predicates=preds).count == plan.count
+
+
+def test_tombstone_rows_store_null_payloads(spark, folded_table):
+    """The invariant minmax_current's payload-column fast path rests on:
+    a tombstone row stores NULL in every payload cell, so parquet bounds
+    (which ignore NULLs) are live-rows-only for payload columns."""
+    raw = folded_table.read(include_deltas=False)
+    payload = [
+        c for c in raw.columns
+        if c not in {"url", "warc_ts", "event_id", "is_deleted"}
+        and not c.startswith("_")
+    ]
+    assert payload
+    bad = raw.filter(F.col("is_deleted")).filter(
+        F.greatest(*[F.col(c).isNotNull() for c in payload])
+    )
+    assert bad.count() == 0
+    # and is_deleted itself is never NULL on this path
+    assert raw.filter(F.col("is_deleted").isNull()).count() == 0
+
+
+def _serving_minmax(table, col, lo=None, hi=None):
+    df = read_current(table)
+    if lo is not None:
+        df = df.filter((F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") < F.lit(hi)))
+    return df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi"), F.count(col).alias("n")
+    ).first()
+
+
+def test_minmax_version_col_matches_serving_view(spark, folded_table):
+    exp = _serving_minmax(folded_table, "warc_ts")
+    plan = minmax_current(folded_table, "warc_ts")
+    assert (plan.lo, plan.hi, plan.count_nonnull) == (
+        exp["lo"], exp["hi"], int(exp["n"])
+    )
+    assert not plan.fallback
+
+
+def test_minmax_payload_col_uses_metadata_despite_tombstones(spark, folded_table):
+    # lang is a payload column: tombstone rows store NULL there, so files
+    # with tombstones still answer from metadata
+    exp = _serving_minmax(folded_table, "lang")
+    plan = minmax_current(folded_table, "lang")
+    assert (plan.lo, plan.hi, plan.count_nonnull) == (
+        exp["lo"], exp["hi"], int(exp["n"])
+    )
+    assert plan.metadata_files, "payload-column bounds never used metadata"
+
+
+def test_minmax_unstatted_column_scans_but_stays_exact(spark, folded_table):
+    # text is not in stats_cols → no zonemaps → residual path, still exact
+    exp = _serving_minmax(folded_table, "text")
+    plan = minmax_current(folded_table, "text")
+    assert (plan.lo, plan.hi, plan.count_nonnull) == (
+        exp["lo"], exp["hi"], int(exp["n"])
+    )
+    assert plan.metadata_files == []
+
+
+def test_minmax_windowed(spark, folded_table):
+    lo_hi = read_current(folded_table).agg(
+        F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")
+    ).first()
+    span = lo_hi["hi"] - lo_hi["lo"]
+    lo = lo_hi["lo"] + span * 0.3
+    hi = lo_hi["lo"] + span * 0.7
+    preds = [("warc_ts", ">=", lo), ("warc_ts", "<", hi)]
+    exp = _serving_minmax(folded_table, "lang", lo, hi)
+    plan = minmax_current(folded_table, "lang", predicates=preds)
+    assert (plan.lo, plan.hi, plan.count_nonnull) == (
+        exp["lo"], exp["hi"], int(exp["n"])
+    )
+
+
+def test_minmax_mor_fallback(spark, events, tmp_path):
+    t = create_pages_table(spark, str(tmp_path / "mm_mor"), n_buckets=4)
+    for i in range(2):
+        b = events.filter(F.pmod(F.col("source_offset"), F.lit(2)) == i)
+        apply_batch(t, b, epoch=i)
+    assert t.snapshot().delta_files
+    exp = _serving_minmax(t, "warc_ts")
+    plan = minmax_current(t, "warc_ts")
+    assert plan.fallback
+    assert (plan.lo, plan.hi, plan.count_nonnull) == (
+        exp["lo"], exp["hi"], int(exp["n"])
+    )
 
 
 def test_equality_predicate_count(spark, folded_table):
