@@ -21,6 +21,10 @@ In the sandbox the same job runs on ``local[N]``.  Modes:
 - ``derive``    run the derive DAG and print rollup summaries
 - ``audit``     offset-coverage report from the lineage manifests
                 (gaps, overlaps, watermarks, dead-letter count)
+- ``stats``     metadata-first COUNT (and MIN/MAX with --col) of the
+                serving view — answers from per-file zonemaps, scans
+                only boundary files; reports how many files were
+                answered from metadata vs scanned vs pruned
 """
 
 from __future__ import annotations
@@ -34,7 +38,10 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="pages-cdc")
     p.add_argument(
         "mode",
-        choices=["ingest", "generate", "compact", "zorder", "derive", "audit"],
+        choices=[
+            "ingest", "generate", "compact", "zorder", "derive", "audit",
+            "stats",
+        ],
     )
     p.add_argument("--wal", help="WAL directory (parquet change events)")
     p.add_argument("--table", required=True, help="lake table root")
@@ -51,6 +58,15 @@ def main(argv: list[str] | None = None) -> None:
                    help="zorder: re-cluster only buckets with deep stacks")
     p.add_argument("--min-files", type=int, default=2,
                    help="zorder --incremental: stack-depth threshold")
+    p.add_argument("--col", help="stats: column for MIN/MAX bounds")
+    p.add_argument(
+        "--where",
+        help=(
+            "stats: conjunctive predicates 'col op value' joined by ';'"
+            " — ops < <= > >= ==, values parsed as int/float when they"
+            " look numeric (e.g. \"lang == en; warc_ts >= 1000\")"
+        ),
+    )
     p.add_argument("--cores", default=None)
     args = p.parse_args(argv)
 
@@ -165,6 +181,57 @@ def main(argv: list[str] | None = None) -> None:
                 default=str,
             )
         )
+        return
+
+    if args.mode == "stats":
+        from aus_land_data_etl_spark.lake.metadata_agg import (
+            count_current,
+            minmax_current,
+        )
+
+        preds: list[tuple] = []
+        for clause in (args.where or "").split(";"):
+            clause = clause.strip()
+            if not clause:
+                continue
+            parts = clause.split(None, 2)
+            if len(parts) != 3:
+                p.error(f"--where clause not 'col op value': {clause!r}")
+            col, op, raw = parts
+            try:
+                value: object = int(raw)
+            except ValueError:
+                try:
+                    value = float(raw)
+                except ValueError:
+                    value = raw
+            preds.append((col, op, value))
+
+        cp = count_current(table, predicates=preds or None)
+        out = {
+            "mode": "stats",
+            "snapshot": table.current_version(),
+            "count": cp.count,
+            "count_plan": {
+                "metadata_files": len(cp.metadata_files),
+                "scanned_files": len(cp.scanned_files),
+                "pruned_files": len(cp.pruned_files),
+                "fallback": cp.fallback,
+            },
+        }
+        if args.col:
+            bp = minmax_current(table, args.col, predicates=preds or None)
+            out["col"] = args.col
+            out["min"] = bp.lo
+            out["max"] = bp.hi
+            out["count_nonnull"] = bp.count_nonnull
+            out["bounds_plan"] = {
+                "metadata_files": len(bp.metadata_files),
+                "scanned_files": len(bp.scanned_files),
+                "pruned_files": len(bp.pruned_files),
+                "fallback": bp.fallback,
+            }
+        print(json.dumps(out, default=str))
         return
 
     if args.mode == "derive":

@@ -50,6 +50,12 @@ SUBMIT=(spark-submit --master "local[$CORES]" --py-files "$ZIP")
     --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
     | tail -1 | tee "$WORK/out_audit.json"
 
+# metadata-first COUNT: after compact+zorder the count must come from
+# manifests alone (zero files opened) and equal the ingest's live count
+"${SUBMIT[@]}" driver.py stats \
+    --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
+    | tail -1 | tee "$WORK/out_stats.json"
+
 python3 - "$WORK" <<'EOF'
 import json, sys
 w = sys.argv[1]
@@ -58,6 +64,7 @@ rep = json.load(open(f"{w}/out_replay.json"))
 comp = json.load(open(f"{w}/out_compact.json"))
 zo = json.load(open(f"{w}/out_zorder.json"))
 aud = json.load(open(f"{w}/out_audit.json"))
+st = json.load(open(f"{w}/out_stats.json"))
 assert ing["live_pages"] > 0, ing
 assert aud["contiguous"] is True and aud["missing_offsets"] == 0, aud
 assert aud["dead_letters"] == 0, aud
@@ -66,7 +73,11 @@ assert rep["snapshot"] == ing["snapshot"], (ing, rep)
 assert comp["snapshot"] > ing["snapshot"], (ing, comp)
 assert zo["snapshot"] > comp["snapshot"] and zo["incremental"], zo
 assert zo["n_files"] > 0, zo
+assert st["count"] == ing["live_pages"], (st, ing)
+assert st["count_plan"]["scanned_files"] == 0, st
+assert st["count_plan"]["fallback"] is False, st
 print(json.dumps({"submit_smoke": "ok", "live_pages": ing["live_pages"],
+                  "stats_count_metadata_only": True,
                   "ingest_batches": ing["batches"],
                   "replay_noop": True, "audit_contiguous": True,
                   "zorder_files": zo["n_files"]}))
