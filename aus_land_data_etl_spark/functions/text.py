@@ -188,3 +188,32 @@ def simhash64(text: Column | str, n: int = 4) -> Column:
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+#: PII patterns (reference's pipeline has no PII stage — this is part of
+#: the web-corpus tier, per the RefinedWeb/CCNet-style curation recipe).
+#: Kept to constructs with identical semantics in Java regex (Spark),
+#: RE2 (DuckDB oracle) and Python `re` (property tests): no lookaround,
+#: no backreferences, ASCII word boundaries only.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"
+IPV4_PATTERN = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PHONE_PATTERN = r"(\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask emails / IPv4 addresses / phone-shaped numbers with typed
+    placeholder tokens (``<EMAIL>`` / ``<IP>`` / ``<PHONE>``).
+
+    The standard pre-training redaction pass, pure Catalyst — three
+    chained ``regexp_replace`` calls in one projection (one codegen
+    stage, zero shuffles, trivially row-parallel at any scale).  Order
+    matters: emails first (their local parts contain digits), then
+    IPv4 (dotted quads would half-match the phone pattern), phones
+    last.  The DuckDB mirror is the same three patterns via
+    ``regexp_replace(..., 'g')``.
+    """
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    c = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_PATTERN, "<IP>")
+    c = F.regexp_replace(c, PHONE_PATTERN, "<PHONE>")
+    return c

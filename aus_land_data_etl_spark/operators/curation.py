@@ -173,3 +173,66 @@ def dup_ngram_frac(text: Column, n: int = 3) -> Column:
             1.0 - F.size(F.array_distinct(sh)) / total.cast("double"), 6
         ),
     ).otherwise(F.lit(0.0))
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Remove lines that repeat across ≥ ``min_docs`` distinct documents
+    (the CCNet/RefinedWeb boilerplate pass: nav bars, cookie banners and
+    footers repeat verbatim across a site; prose doesn't).
+
+    Returns one row per input document with ``text_col`` rebuilt from
+    the surviving lines (original casing/order preserved; duplicate
+    detection is on the lowercased trimmed line), plus ``n_lines`` /
+    ``n_kept`` so callers can filter husks (docs that were all
+    boilerplate come back with an empty string, never disappear).
+
+    Scale shape: posexplode (no shuffle) → line-key groupBy with
+    map-side partial ``count_distinct`` (shuffle 1) → anti join against
+    the duplicated-line set (shuffle 2) → per-doc rebuild (shuffle 3).
+    The duplicated-line set is NOT broadcast — at web scale it is
+    heavy-hitters-sized but unbounded, so the join is left to AQE
+    (which will broadcast it when a site-level slice makes it small).
+    Blank lines are structure, not boilerplate — never counted, always
+    kept.
+    """
+    line_key = F.lower(F.trim(F.col("_line")))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), delim, -1)
+        ).alias("_pos", "_line"),
+    )
+    boiler = (
+        lines.filter(line_key != "")
+        .groupBy(line_key.alias("_k"))
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_k")
+    )
+    kept = lines.join(boiler, line_key == F.col("_k"), "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda x: x["_line"],
+            ),
+            delim,
+        ).alias(text_col),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.col("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

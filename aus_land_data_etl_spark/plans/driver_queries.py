@@ -1505,6 +1505,105 @@ LEFT JOIN fr3 ON fr3.doc_id = d.doc_id
 """
 
 
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone numbers → typed placeholder
+    tokens) — the standard pre-training privacy pass.  PII is
+    synthesised deterministically from doc_id inside the query (the
+    test corpus carries none), so the redactor runs against known
+    ground truth and the oracle applies the byte-identical RE2
+    patterns with ``regexp_replace(..., 'g')``.  One projection, three
+    chained regexes, zero shuffles (functions/text.redact_pii)."""
+    from aus_land_data_etl_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" end"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        redact_pii(synth).alias("redacted"),
+    )
+
+
+ORACLE_TEXT_PII_REDACT = r"""
+SELECT doc_id,
+       REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+         text || ' contact user' || doc_id || '@example.com or 10.1.'
+              || (doc_id % 256) || '.7 call +1 415-555-'
+              || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end',
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
+         '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '(\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}', '<PHONE>', 'g')
+         AS redacted
+FROM documents
+"""
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate line removal (CCNet/RefinedWeb pass):
+    lines repeating verbatim across ≥2 distinct documents are dropped
+    from every document, text rebuilt from the survivors in order.
+    The single-line test corpus is reshaped into deterministic 3-word
+    lines inside the query (both engines compute the same reshaping);
+    the tiny vocabulary guarantees real cross-document duplicates.
+    Scale shape: explode → line-key count_distinct → anti join →
+    per-doc rebuild (operators/curation.dedup_lines)."""
+    from aus_land_data_etl_spark.operators.curation import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lines_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(3)),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    ml = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_join(lines_arr, "\n").alias("text"),
+    )
+    return dedup_lines(ml, min_docs=2)
+
+
+ORACLE_DEDUP_LINES = """
+WITH ml AS (
+  SELECT doc_id,
+         ARRAY_TO_STRING(
+           LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ts), 3),
+                          i -> ARRAY_TO_STRING(LIST_SLICE(ts, i, i + 2), ' ')),
+           CHR(10)) AS text
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents)
+),
+lines AS (
+  SELECT d.doc_id, t.i AS pos, LIST_EXTRACT(d.ls, t.i) AS line
+  FROM (SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS ls FROM ml) d,
+       UNNEST(GENERATE_SERIES(1, LEN(d.ls))) AS t(i)
+),
+boiler AS (
+  SELECT LOWER(TRIM(line)) AS k FROM lines WHERE TRIM(line) <> ''
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT l.* FROM lines l
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.k = LOWER(TRIM(l.line)))
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id, STRING_AGG(line, CHR(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.text, '') AS text, t.n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment for every document —
     hash-bucketed on md5 (NOT xxhash/murmur) so the assignment is
@@ -3540,6 +3639,8 @@ QUERIES: dict[str, QueryFn] = {
     "lake_zorder_string_prune": q_lake_zorder_string_prune,
     "lake_count_metadata": q_lake_count_metadata,
     "lake_minmax_metadata": q_lake_minmax_metadata,
+    "text_pii_redact": q_text_pii_redact,
+    "dedup_lines": q_dedup_lines,
     # --- (c) green in r04 ---
     "cdc_engine_converge": q_cdc_engine_converge,
     "cdc_schema_evolution_converge": q_cdc_schema_evolution_converge,
@@ -3655,6 +3756,8 @@ ORACLES: dict[str, str] = {
     "lake_stats_prune": ORACLE_LAKE_STATS_PRUNE,
     "lake_count_metadata": ORACLE_LAKE_COUNT_METADATA,
     "lake_minmax_metadata": ORACLE_LAKE_MINMAX_METADATA,
+    "text_pii_redact": ORACLE_TEXT_PII_REDACT,
+    "dedup_lines": ORACLE_DEDUP_LINES,
     "lake_point_lookup": ORACLE_LAKE_POINT_LOOKUP,
     "lake_delete_where": ORACLE_LAKE_DELETE_WHERE,
     "incr_agg_view": ORACLE_INCR_AGG_VIEW,

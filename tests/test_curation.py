@@ -194,3 +194,84 @@ def test_hash_sample_by_deterministic_stratified(spark):
         ).collect()
     }
     assert sub == {k for g in by_g.values() for k in g if k < 1000}
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    from aus_land_data_etl_spark.operators.curation import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE Banner\nunique prose one\n\nshared footer"),
+            (2, "cookie banner\nother words here\nshared footer"),
+            (3, "cookie banner\nmore distinct stuff"),
+            (4, "all alone doc"),
+            (5, "cookie banner"),   # becomes a husk, must not vanish
+            (6, None),              # NULL text -> one empty line, kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+        for r in dedup_lines(docs, min_docs=2).collect()
+    }
+    # duplicate detection is case/whitespace-insensitive, originals kept
+    assert got[1] == ("unique prose one\n", 4, 2)  # blank line is structure
+    assert got[2] == ("other words here", 3, 1)
+    assert got[3] == ("more distinct stuff", 2, 1)
+    assert got[4] == ("all alone doc", 1, 1)
+    assert got[5] == ("", 1, 0)
+    assert got[6] == ("", 1, 1)  # empty line never counts as boilerplate
+    assert len(got) == 6
+
+
+def test_dedup_lines_threshold_and_order(spark):
+    from aus_land_data_etl_spark.operators.curation import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(i, "dup line\nkeep %d\ndup line" % i) for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    # below threshold: nothing removed, text byte-identical
+    same = dedup_lines(docs, min_docs=4).collect()
+    assert all(r["text"] == "dup line\nkeep %d\ndup line" % r["doc_id"] for r in same)
+    # at threshold: both copies of the duplicated line go, order survives
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(docs, min_docs=3).collect()}
+    assert got == {1: "keep 1", 2: "keep 2", 3: "keep 3"}
+
+
+def test_redact_pii_matches_python_re(spark):
+    import re
+
+    from aus_land_data_etl_spark.functions.text import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+        redact_pii,
+    )
+
+    samples = [
+        "mail bob.smith+x@foo-bar.co.uk now",
+        "a@b.co and c.d@e-f.org.au together",
+        "server 192.168.0.1 and 10.0.0.255 ok",
+        "call +1 415-555-0142 or (415) 555.0143",
+        "edge 999.999.999.999 still ip-shaped",
+        "no pii here, just v1.2 and 42",
+        "combo x@y.zz at 8.8.8.8 ring 0400 123 456",
+        "",
+    ]
+
+    def py_redact(s: str) -> str:
+        s = re.sub(EMAIL_PATTERN, "<EMAIL>", s)
+        s = re.sub(IPV4_PATTERN, "<IP>", s)
+        s = re.sub(PHONE_PATTERN, "<PHONE>", s)
+        return s
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["r"]
+        for r in df.select("id", redact_pii("text").alias("r")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == py_redact(s), (s, got[i], py_redact(s))
