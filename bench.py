@@ -55,6 +55,9 @@ HEADLINE_QUERIES = [
     # partial-image CDC through the merge-on-read path (O(batch) fanout
     # deltas + mid-stream fold + per-cell resolution off mixed stacks)
     "cdc_patch_mor_converge",
+    # corpus boilerplate pass: explode -> line-key count_distinct ->
+    # anti join -> per-doc rebuild (3 shuffles over the documents table)
+    "dedup_lines",
 ]
 
 
