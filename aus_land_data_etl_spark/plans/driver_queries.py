@@ -1604,6 +1604,86 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_cdc_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tier capstone: a curated training corpus built DIRECTLY off
+    the exactly-once CDC serving view — the composition a continuously
+    refreshed pretraining corpus runs on every ingest cycle.
+
+    Chain: events → 4 CDC micro-batches (LWW merge, tombstones,
+    exactly-once) → serving view → domain from the extracted text's
+    leading token → per-domain cap (newest first, deterministic ties)
+    → engine-portable md5 train/val/test split.  The oracle replays the
+    same chain in SQL (ranked LWW → ROW_NUMBER cap → md5 arithmetic),
+    so the value check covers the composition end-to-end: a wrong LWW
+    winner, a dropped tombstone, a non-deterministic cap order or a
+    drifting split assignment all surface as a hash mismatch."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.functions.sampling import hash_split
+    from aus_land_data_etl_spark.lake.merge import read_current
+    from aus_land_data_etl_spark.operators.curation import cap_per_group
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_corpus_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        for i in range(4):
+            batch = changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            apply_batch(table, batch, epoch=i)
+        cur = read_current(table).select(
+            F.col("url"),
+            F.col("warc_ts"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.split(F.col("text"), " ").getItem(0).alias("domain"),
+        )
+        capped = cap_per_group(
+            cur,
+            "domain",
+            [F.col("warc_ts").desc(), F.col("url").asc()],
+            20,
+        )
+        out = hash_split(
+            capped, "url", {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).select("url", "domain", "warc_ts", "event_id", "split")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORACLE_CDC_CORPUS_REFRESH = """
+WITH ranked AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts,
+         event_id,
+         event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+),
+serving AS (
+  SELECT url, warc_ts, event_id, event_type AS domain
+  FROM ranked WHERE rn = 1 AND event_type <> 'error'
+),
+capped AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY domain ORDER BY warc_ts DESC, url ASC
+         ) AS rk
+  FROM serving
+)
+SELECT url, domain, warc_ts, event_id,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT url, domain, warc_ts, event_id,
+         CAST(CONCAT('0x', SUBSTRING(
+           md5(CONCAT(url, '|', 'v1')), 1, 8)
+         ) AS BIGINT) % 1000000 AS b
+  FROM capped WHERE rk <= 20
+)
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment for every document —
     hash-bucketed on md5 (NOT xxhash/murmur) so the assignment is
@@ -3641,6 +3721,7 @@ QUERIES: dict[str, QueryFn] = {
     "lake_minmax_metadata": q_lake_minmax_metadata,
     "text_pii_redact": q_text_pii_redact,
     "dedup_lines": q_dedup_lines,
+    "cdc_corpus_refresh": q_cdc_corpus_refresh,
     # --- (c) green in r04 ---
     "cdc_engine_converge": q_cdc_engine_converge,
     "cdc_schema_evolution_converge": q_cdc_schema_evolution_converge,
@@ -3758,6 +3839,7 @@ ORACLES: dict[str, str] = {
     "lake_minmax_metadata": ORACLE_LAKE_MINMAX_METADATA,
     "text_pii_redact": ORACLE_TEXT_PII_REDACT,
     "dedup_lines": ORACLE_DEDUP_LINES,
+    "cdc_corpus_refresh": ORACLE_CDC_CORPUS_REFRESH,
     "lake_point_lookup": ORACLE_LAKE_POINT_LOOKUP,
     "lake_delete_where": ORACLE_LAKE_DELETE_WHERE,
     "incr_agg_view": ORACLE_INCR_AGG_VIEW,
