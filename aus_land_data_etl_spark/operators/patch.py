@@ -123,22 +123,34 @@ def resolve_cells(
         aggs.append(F.max(cv).alias(f"_cv_{c}"))
 
     out = d.groupBy(*keys).agg(*aggs)
-    entries = F.filter(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("key"), F.col(f"_cv_{c}").alias("value")
-                )
-                for c in payload
-            ]
-        ),
-        lambda s: s["value"].isNotNull(),
-    )
+    if payload:
+        entries = F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("key"), F.col(f"_cv_{c}").alias("value")
+                    )
+                    for c in payload
+                ]
+            ),
+            lambda s: s["value"].isNotNull(),
+        )
+        cv_map = F.map_from_entries(entries)
+    else:
+        # projection kept zero payload cells (e.g. a count-only or
+        # version-only read): F.array() would be array<void> and the
+        # lambda's s["value"] an invalid VOID extraction.  The exact
+        # semantic is a stored row that determines no cells — an empty
+        # (not NULL: NULL means full image) typed map.
+        vt = dict(d.dtypes)
+        cv_map = F.expr("map()").cast(
+            f"map<string,struct<v:{vt[version_col]},t:{vt[tiebreak_col]}>>"
+        )
     return out.select(
         *keys,
         F.col("_rv.v").alias(version_col),
         F.col("_rv.t").alias(tiebreak_col),
         F.col(deleted_col),
         *[F.col(f"_val_{c}.v").alias(c) for c in payload],
-        F.map_from_entries(entries).alias(CELL_VERS),
+        cv_map.alias(CELL_VERS),
     )

@@ -226,3 +226,57 @@ def test_equality_predicate_count(spark, folded_table):
     )
     plan = count_current(folded_table, predicates=[("lang", "==", "en")])
     assert plan.count == expected and not plan.fallback
+
+
+def test_count_minmax_on_patch_table_with_live_deltas(spark, tmp_path):
+    """Regression (round 5, found by the property suite's metadata
+    check): the MoR fallback reads ``read_current(columns=[...])`` with
+    a projection that keeps NO payload cells; on a patch table
+    resolve_cells then built ``F.filter(F.array(), ...)`` — array<void>
+    — and the lambda's ``s["value"]`` raised
+    INVALID_EXTRACT_BASE_FIELD_TYPE.  count_current/minmax_current on a
+    patch table with live fanout deltas must answer exactly (via the
+    documented fallback), not crash."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from aus_land_data_etl_spark.cdc.apply import (
+        apply_patch_batch,
+        create_pages_table,
+    )
+    from aus_land_data_etl_spark.cdc.events import PATCH_EVENT_SCHEMA
+    from aus_land_data_etl_spark.lake.merge import read_current
+    from aus_land_data_etl_spark.lake.metadata_agg import (
+        count_current,
+        minmax_current,
+    )
+    from tests.test_property_lww import KEYS, to_patch_rows
+
+    events = [
+        ("e000", "patch", KEYS[0], 35, [], 0),
+        ("e001", "update", KEYS[0], 33, None, 1),
+        ("e002", "update", KEYS[1], 10, None, 2),
+    ]
+    table = create_pages_table(spark, str(tmp_path / "t"), n_buckets=2)
+    df = spark.createDataFrame(to_patch_rows(events), PATCH_EVENT_SCHEMA)
+    for i, mode in enumerate(["mor", "cow"]):
+        batch = df.filter(F.pmod(F.xxhash64("event_id"), F.lit(2)) == i)
+        apply_patch_batch(table, batch, epoch=i, mode=mode)
+    assert table.snapshot().delta_files, "repro needs a live delta stack"
+
+    cur = read_current(table)
+    n = cur.count()
+    cp = count_current(table)
+    assert (cp.count, cp.fallback) == (n, True)
+
+    agg = cur.agg(
+        F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")
+    ).collect()[0]
+    bp = minmax_current(table, "warc_ts")
+    assert bp.fallback
+    assert (bp.lo, bp.hi, bp.count_nonnull) == (agg["lo"], agg["hi"], n)
+
+    # the precise crash shapes: zero-payload projections
+    assert read_current(table, columns=[]).count() == n
+    assert read_current(table, columns=["warc_ts"]).count() == n

@@ -242,6 +242,28 @@ def _do_maint(table, op):
         )
 
 
+def _check_metadata_aggs(table, live_ts_by_url):
+    """Metadata-first COUNT and MIN/MAX(warc_ts) must be exact for the
+    serving view of ANY history the engine can produce — folds,
+    rebuckets, z-order rewrites, CoW/MoR mode mixes, live delta stacks
+    (which route to the documented fallback but must stay exact)."""
+    from aus_land_data_etl_spark.lake.metadata_agg import (
+        count_current,
+        minmax_current,
+    )
+
+    cp = count_current(table)
+    assert cp.count == len(live_ts_by_url), (cp, live_ts_by_url)
+    bp = minmax_current(table, "warc_ts")
+    if live_ts_by_url:
+        want_lo = BASE + dt.timedelta(seconds=min(live_ts_by_url.values()))
+        want_hi = BASE + dt.timedelta(seconds=max(live_ts_by_url.values()))
+        assert bp.lo == want_lo and bp.hi == want_hi, (bp, want_lo, want_hi)
+        assert bp.count_nonnull == len(live_ts_by_url)
+    else:
+        assert bp.lo is None and bp.hi is None and bp.count_nonnull == 0, bp
+
+
 def _run_row_log(spark, tmp_path_factory, log):
     events, n_batches, modes, _offset_mode, wal, *rest = log
     maint = rest[0] if rest else [None] * n_batches
@@ -257,6 +279,7 @@ def _run_row_log(spark, tmp_path_factory, log):
         for r in read_current(table).collect()
     }
     assert got == python_oracle(events)
+    _check_metadata_aggs(table, {k: v[0] for k, v in got.items()})
 
 
 def _run_patch_log(spark, tmp_path_factory, log):
@@ -279,6 +302,7 @@ def _run_patch_log(spark, tmp_path_factory, log):
         for r in read_current(table).collect()
     }
     assert got == python_cell_oracle(events)
+    _check_metadata_aggs(table, {k: v[0] for k, v in got.items()})
 
 
 @settings(max_examples=6, derandomize=True, **_PROFILE_COMMON)
