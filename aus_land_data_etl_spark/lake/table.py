@@ -1049,6 +1049,13 @@ class LakeTable:
         from aus_land_data_etl_spark.lake.stats import collect_file_stats
 
         cols = list(self.snapshot().properties.get("stats_cols") or [])
+        if cols and "is_deleted" not in cols:
+            # stats_cols is the opt-in for metadata answers; the exact
+            # per-file ``dels`` (metadata-only COUNT under tombstone
+            # mixing, e.g. after z-order re-clustering) rides along for
+            # the cost of one RLE boolean column on cache-hot files —
+            # callers shouldn't need to know the internal column name.
+            cols.append("is_deleted")
         self._staged_stats = (
             collect_file_stats(self.root, rel_paths, cols) if cols else {}
         )

@@ -210,6 +210,21 @@ def main() -> None:
             if len(g) == len(e)
             else -1
         )
+        # metadata-first aggregates must be exact over the final folded
+        # z-ordered layout (round-5 invariant, also property-tested)
+        from aus_land_data_etl_spark.lake.metadata_agg import (
+            count_current,
+            minmax_current,
+        )
+
+        cp = count_current(table)
+        bp = minmax_current(table, "warc_ts")
+        meta_ok = bool(
+            cp.count == len(e)
+            and str(pd.Timestamp(bp.lo).as_unit("us")) == e["warc_ts"].min()
+            and str(pd.Timestamp(bp.hi).as_unit("us")) == e["warc_ts"].max()
+            and bp.count_nonnull == len(e)
+        )
         result = {
             "soak": "patch-tier per-cell CDC (round-5, post-fix)",
             "events_physical": int(rows_in),
@@ -224,6 +239,9 @@ def main() -> None:
             "final_rows": int(len(g)),
             "oracle_rows": int(len(e)),
             "value_mismatches": n_mismatch,
+            "metadata_count": cp.count,
+            "metadata_count_scanned_files": len(cp.scanned_files),
+            "metadata_aggs_exact": meta_ok,
             "apply_wall_sec": round(t_apply, 1),
             "total_wall_sec": round(time.time() - t0, 1),
             "events_per_sec_apply": round(rows_in / t_apply, 1),
@@ -232,6 +250,7 @@ def main() -> None:
                 and n_mismatch == 0
                 and len(zo_skipped) > 0
                 and len(zo_kept) > 0
+                and meta_ok
             ),
         }
         line = json.dumps(result)
