@@ -25,6 +25,9 @@ In the sandbox the same job runs on ``local[N]``.  Modes:
                 serving view — answers from per-file zonemaps, scans
                 only boundary files; reports how many files were
                 answered from metadata vs scanned vs pruned
+- ``vacuum``    retention + failure cleanup: expire old snapshots
+                (--keep-last) then remove age-gated orphan files
+                (--grace-hours; crash leftovers, lost-race spills)
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ def main(argv: list[str] | None = None) -> None:
         "mode",
         choices=[
             "ingest", "generate", "compact", "zorder", "derive", "audit",
-            "stats",
+            "stats", "vacuum",
         ],
     )
     p.add_argument("--wal", help="WAL directory (parquet change events)")
@@ -67,6 +70,10 @@ def main(argv: list[str] | None = None) -> None:
             " look numeric (e.g. \"lang == en; warc_ts >= 1000\")"
         ),
     )
+    p.add_argument("--keep-last", type=int, default=2,
+                   help="vacuum: snapshots to retain")
+    p.add_argument("--grace-hours", type=float, default=1.0,
+                   help="vacuum: age gate for orphan removal")
     p.add_argument("--cores", default=None)
     args = p.parse_args(argv)
 
@@ -179,6 +186,21 @@ def main(argv: list[str] | None = None) -> None:
                     "dead_letters": read_dead_letters(table).count(),
                 },
                 default=str,
+            )
+        )
+        return
+
+    if args.mode == "vacuum":
+        table.expire_snapshots(keep_last=args.keep_last)
+        removed = table.vacuum_orphans(grace_seconds=args.grace_hours * 3600)
+        print(
+            json.dumps(
+                {
+                    "mode": "vacuum",
+                    "snapshot": table.current_version(),
+                    "keep_last": args.keep_last,
+                    **removed,
+                }
             )
         )
         return

@@ -56,6 +56,16 @@ SUBMIT=(spark-submit --master "local[$CORES]" --py-files "$ZIP")
     --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
     | tail -1 | tee "$WORK/out_stats.json"
 
+# retention + orphan cleanup must reclaim the superseded pre-zorder
+# files and leave the serving view (and its metadata count) intact
+"${SUBMIT[@]}" driver.py vacuum \
+    --table "$WORK/tbl" --keep-last 1 --grace-hours 0 \
+    --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_vacuum.json"
+
+"${SUBMIT[@]}" driver.py stats \
+    --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
+    | tail -1 | tee "$WORK/out_stats2.json"
+
 python3 - "$WORK" <<'EOF'
 import json, sys
 w = sys.argv[1]
@@ -65,6 +75,8 @@ comp = json.load(open(f"{w}/out_compact.json"))
 zo = json.load(open(f"{w}/out_zorder.json"))
 aud = json.load(open(f"{w}/out_audit.json"))
 st = json.load(open(f"{w}/out_stats.json"))
+vac = json.load(open(f"{w}/out_vacuum.json"))
+st2 = json.load(open(f"{w}/out_stats2.json"))
 assert ing["live_pages"] > 0, ing
 assert aud["contiguous"] is True and aud["missing_offsets"] == 0, aud
 assert aud["dead_letters"] == 0, aud
@@ -76,8 +88,12 @@ assert zo["n_files"] > 0, zo
 assert st["count"] == ing["live_pages"], (st, ing)
 assert st["count_plan"]["scanned_files"] == 0, st
 assert st["count_plan"]["fallback"] is False, st
+assert vac["data_files"] > 0, vac
+assert st2["count"] == ing["live_pages"], (st2, ing)
+assert st2["count_plan"]["scanned_files"] == 0, st2
 print(json.dumps({"submit_smoke": "ok", "live_pages": ing["live_pages"],
                   "stats_count_metadata_only": True,
+                  "vacuum_reclaimed_files": vac["data_files"],
                   "ingest_batches": ing["batches"],
                   "replay_noop": True, "audit_contiguous": True,
                   "zorder_files": zo["n_files"]}))
