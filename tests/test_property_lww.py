@@ -110,6 +110,7 @@ def event_logs(draw, with_patches: bool = False):
                     "rebucket1",
                     "zorder",
                     "zorder_inc",
+                    "retention",
                 ]
             )
         )
@@ -240,6 +241,13 @@ def _do_maint(table, op):
         cluster_zorder_buckets(
             table, ["warc_ts", "lang"], min_files=1, bits=3, files_per_bucket=2
         )
+    elif op == "retention":
+        # retention + failure cleanup mid-stream: expiring history and
+        # sweeping unreferenced files (grace 0 = everything eligible)
+        # must never touch the live snapshot's files — later merges,
+        # resolution and metadata aggregates all still converge.
+        table.expire_snapshots(keep_last=1)
+        table.vacuum_orphans(grace_seconds=0.0)
 
 
 def _check_metadata_aggs(table, live_ts_by_url):
