@@ -84,11 +84,18 @@ def minhash_signatures(
     )
 
 
-def band_pairs(sigs: DataFrame, k: int, n_bands: int) -> DataFrame:
-    """Banded-LSH candidate pairs from precomputed signatures: explode
-    bands → self-join on (band, band_hash) → distinct (id_a < id_b)."""
+def band_rows(sigs: DataFrame, k: int, n_bands: int) -> DataFrame:
+    """(doc_id, band, band_hash) rows — one per LSH band per document.
+
+    The banding hash family shared by the one-shot candidate join
+    (``band_pairs``) and the persisted incremental index
+    (``neardup_index.NearDupIndex``): band b hashes signature elements
+    [b·r, (b+1)·r) with xxhash64.  Keeping it in ONE place is what makes
+    incremental-vs-batch candidate equality a structural fact rather
+    than a coincidence of two implementations.
+    """
     r = k // n_bands
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -99,6 +106,12 @@ def band_pairs(sigs: DataFrame, k: int, n_bands: int) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
+
+
+def band_pairs(sigs: DataFrame, k: int, n_bands: int) -> DataFrame:
+    """Banded-LSH candidate pairs from precomputed signatures: explode
+    bands → self-join on (band, band_hash) → distinct (id_a < id_b)."""
+    bands = band_rows(sigs, k, n_bands)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -1933,6 +1933,47 @@ def q_emb_topk_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_neardup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection through the PERSISTED incremental LSH index
+    (``NearDupIndex``): empty create → the corpus arrives in three
+    ingest batches, each ``add`` probing only the band buckets its own
+    hashes land in (partition-pruned directory read) and returning the
+    candidate pairs that touch the batch — the O(batch)-per-cycle shape
+    a 10^10-document continuously-deduplicated corpus needs, vs
+    re-banding the whole corpus every ingest.
+
+    The union of the three adds' candidates is verified with exact
+    n-gram Jaccard ≥ 0.2, so it shares ``ORACLE_NGRAM_JACCARD``
+    verbatim: with r=1 rows per band (k=64, 64 bands) a true pair at
+    j ≥ 0.2 collides with p = 1−(1−j)^64 ≥ 0.999999 (deterministic for
+    the fixed hash family — the same guarantee ``corpus_build_lsh``
+    rides), and the exact verify makes precision 1.0.  A missed
+    cross-batch probe, a dropped append, or a wrong band bucket hashes
+    differently."""
+    from aus_land_data_etl_spark.operators.dedup_ml import ngram_jaccard
+    from aus_land_data_etl_spark.operators.neardup_index import NearDupIndex
+
+    docs = _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(5)) == 0)
+    d = tempfile.mkdtemp(prefix="ndi_")
+    try:
+        idx = NearDupIndex.create(
+            spark, d, k=64, n_bands=64, shingle_n=5, seed=42, n_buckets=16
+        )
+        cands = None
+        for b in range(3):
+            p = idx.add(docs.filter(F.pmod("doc_id", F.lit(3)) == b))
+            cands = p if cands is None else cands.unionAll(p)
+        cands = cands.distinct().localCheckpoint(eager=True)
+        out = (
+            ngram_jaccard(docs, cands, "doc_id", "text", shingle_n=5)
+            .filter(F.col("jaccard") >= 0.2)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_minhash_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -3713,6 +3754,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences_bucketed": q_pack_sequences_bucketed,
     "corpus_build_lsh": q_corpus_build_lsh,
     "emb_topk_ivf_incremental": q_emb_topk_ivf_incremental,
+    "neardup_index_incremental": q_neardup_index_incremental,
     "domain_mix_sample": q_domain_mix_sample,
     "lake_zorder_prune": q_lake_zorder_prune,
     "lake_zorder_incremental": q_lake_zorder_incremental,
@@ -3807,6 +3849,10 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "derive_change_history": ORACLE_CHANGE_HISTORY,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    # the incremental index + exact verify reproduces the exact edge set
+    # (r=1 banding collision ≥ 0.999999 at the 0.2 threshold — see
+    # q_neardup_index_incremental docstring), so it shares the oracle
+    "neardup_index_incremental": ORACLE_NGRAM_JACCARD,
     "neardup_components": ORACLE_NEARDUP_COMPONENTS,
     "neardup_canonical": ORACLE_NEARDUP_CANONICAL,
     "dataset_split": ORACLE_DATASET_SPLIT,

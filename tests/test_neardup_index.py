@@ -1,0 +1,187 @@
+"""Persisted incremental near-dup index (operators/neardup_index.py).
+
+The load-bearing property: starting from an empty index, the union of
+pair sets returned by successive ``add`` calls equals the one-shot
+``minhash_lsh_candidates`` over the union of the batches — the
+incremental path is the batch path, just spread across ingest cycles.
+Plus the IvfIndex-style scale proofs: the band probe is partition-pruned
+at the directory level (executed-plan PartitionFilters AND a runtime
+poison-file read of the unprobed buckets).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aus_land_data_etl_spark.operators.dedup_ml import (
+    band_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    shingle_rows,
+)
+from aus_land_data_etl_spark.operators.neardup_index import NearDupIndex
+
+PARAMS = dict(k=16, n_bands=8, shingle_n=5, seed=42, n_buckets=8)
+
+
+def _docs(spark, ids):
+    bases = [
+        "the quick brown fox jumps over the lazy dog and runs through the "
+        "forest chasing rabbits while birds sing in the morning light",
+        "spark catalyst optimizer rewrites logical plans into physical "
+        "plans with predicate pushdown and column pruning everywhere",
+        "completely different third base text about parquet encodings "
+        "dictionary pages and run length encoded definition levels",
+        "a fourth unrelated passage mentioning watermarks micro batches "
+        "and exactly once sinks with per partition offset manifests",
+    ]
+    rows = [
+        (i, bases[i % 4] + (f" tail variant {i % 3}" if i % 3 else ""))
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_incremental_union_equals_batch(spark, tmp_path):
+    """Empty create → three adds; union of returned pairs == one-shot
+    LSH candidates over the whole corpus (same hash family)."""
+    all_ids = list(range(36))
+    full = _docs(spark, all_ids)
+    idx = NearDupIndex.create(spark, str(tmp_path / "ndi"), **PARAMS)
+
+    got = set()
+    for b in range(3):
+        batch = _docs(spark, [i for i in all_ids if i % 3 == b])
+        got |= _pairs(idx.add(batch))
+
+    expect = _pairs(
+        minhash_lsh_candidates(
+            full, "doc_id", "text",
+            k=PARAMS["k"], n_bands=PARAMS["n_bands"],
+            shingle_n=PARAMS["shingle_n"], seed=PARAMS["seed"],
+        )
+    )
+    assert got == expect
+    assert len(expect) > 10  # the fixture genuinely has near-dups
+
+
+def test_build_then_add_reports_only_new_pairs(spark, tmp_path):
+    """``build`` bulk-loads without pair output; a later ``add`` reports
+    exactly the pairs touching the new batch (batch-vs-corpus and
+    batch-vs-batch), i.e. whole-corpus candidates minus within-corpus."""
+    a_ids = [i for i in range(24) if i % 2 == 0]
+    b_ids = [i for i in range(24) if i % 2 == 1]
+    docs_a, docs_b = _docs(spark, a_ids), _docs(spark, b_ids)
+
+    idx = NearDupIndex.build(docs_a, str(tmp_path / "ndi"), **PARAMS)
+    got = _pairs(idx.add(docs_b))
+
+    def cands(df):
+        return _pairs(
+            minhash_lsh_candidates(
+                df, "doc_id", "text",
+                k=PARAMS["k"], n_bands=PARAMS["n_bands"],
+                shingle_n=PARAMS["shingle_n"], seed=PARAMS["seed"],
+            )
+        )
+
+    whole = cands(_docs(spark, sorted(a_ids + b_ids)))
+    within_a = cands(docs_a)
+    assert got == whole - within_a
+
+
+def test_candidates_for_probes_without_mutation(spark, tmp_path):
+    idx = NearDupIndex.build(
+        _docs(spark, list(range(0, 12))), str(tmp_path / "ndi"), **PARAMS
+    )
+    before = idx.bands().count()
+    probe = _pairs(idx.candidates_for(_docs(spark, list(range(12, 18)))))
+    assert probe  # near-dups of the indexed corpus exist by construction
+    assert idx.bands().count() == before
+    # reload from disk: the handle state is entirely in meta.json + parquet
+    idx2 = NearDupIndex(spark, idx.root)
+    assert _pairs(idx2.candidates_for(_docs(spark, list(range(12, 18))))) == probe
+
+
+def test_probe_prunes_unprobed_bucket_directories(spark, tmp_path):
+    """Directory-level pruning, proven the same two ways as IvfIndex:
+    (a) the executed plan carries the bucket partition filter;
+    (b) RUNTIME: corrupt .parquet files planted in every UNprobed bucket
+    directory do not fail the probe — they were never opened."""
+    root = str(tmp_path / "ndi")
+    idx = NearDupIndex.build(_docs(spark, list(range(24))), root, **PARAMS)
+
+    one = _docs(spark, [100])  # single new doc → few band buckets
+    sigs = idx._signatures(one, "doc_id", "text")
+    probed = {
+        r["bucket"]
+        for r in idx._bands_with_bucket(sigs).select("bucket").distinct().collect()
+    }
+    assert 0 < len(probed) < PARAMS["n_buckets"]  # something to skip
+
+    # (a) plan-level
+    plan_df = idx.bands().filter(F.col("bucket").isin(sorted(probed)))
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan, plan[:800]
+
+    # (b) runtime poison proof
+    bands_dir = os.path.join(root, "bands")
+    poisoned = []
+    for d in os.listdir(bands_dir):
+        if not d.startswith("bucket="):
+            continue
+        if int(d.split("=", 1)[1]) in probed:
+            continue
+        p = os.path.join(bands_dir, d, "poison.parquet")
+        with open(p, "wb") as f:
+            f.write(b"this is not a parquet file")
+        poisoned.append(p)
+    assert poisoned  # at least one unprobed directory existed
+    try:
+        out = idx.candidates_for(one)
+        out.collect()  # must not touch the poisoned directories
+    finally:
+        for p in poisoned:
+            os.remove(p)
+
+
+def test_estimated_matches_unpruned_computation(spark, tmp_path):
+    """``estimated`` (sbucket-pruned signature fetch) returns the same
+    Broder estimates as computing them directly from batch signatures."""
+    from aus_land_data_etl_spark.operators.dedup_ml import estimated_similarity
+
+    docs = _docs(spark, list(range(18)))
+    idx = NearDupIndex.build(docs, str(tmp_path / "ndi"), **PARAMS)
+    pairs = band_pairs(
+        minhash_signatures(
+            shingle_rows(docs, "doc_id", "text", PARAMS["shingle_n"]),
+            PARAMS["k"], PARAMS["seed"],
+        ),
+        PARAMS["k"], PARAMS["n_bands"],
+    ).localCheckpoint(eager=True)
+
+    direct_sigs = minhash_signatures(
+        shingle_rows(docs, "doc_id", "text", PARAMS["shingle_n"]),
+        PARAMS["k"], PARAMS["seed"],
+    )
+    want = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in estimated_similarity(pairs, direct_sigs, PARAMS["k"]).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in idx.estimated(pairs).collect()
+    }
+    assert got == want and want
+
+
+def test_create_rejects_bad_banding(spark, tmp_path):
+    with pytest.raises(ValueError):
+        NearDupIndex.create(spark, str(tmp_path / "x"), k=16, n_bands=5)
