@@ -185,3 +185,61 @@ def test_estimated_matches_unpruned_computation(spark, tmp_path):
 def test_create_rejects_bad_banding(spark, tmp_path):
     with pytest.raises(ValueError):
         NearDupIndex.create(spark, str(tmp_path / "x"), k=16, n_bands=5)
+
+
+def test_changelog_subscription_feeds_index(spark, tmp_path):
+    """The CDC composition the index exists for: documents land in the
+    lake through exactly-once CDC batches, a durable changelog
+    subscription delivers each interval's net inserts, and ``add``
+    maintains the near-dup index from exactly those rows.  The union of
+    the per-interval candidates equals the one-shot LSH candidates over
+    the FINAL table state — a dropped, duplicated, or re-ordered
+    subscription interval would break the set equality."""
+    from pyspark.sql import Window
+
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.cdc.generator import generate_events
+    from aus_land_data_etl_spark.lake.changelog import ChangelogSubscription
+    from aus_land_data_etl_spark.lake.merge import read_current
+
+    t = create_pages_table(spark, str(tmp_path / "lake"), n_buckets=4)
+    # insert-only, one event per url: the final state is exactly the
+    # union of the inserts, so the append-only index can mirror it
+    ev = generate_events(spark, 400, seed=31).filter(F.col("op") == "insert")
+    ev = (
+        ev.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy("source_pos", "event_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+
+    params = dict(PARAMS)
+    params.update(n_bands=16, id_type="string")  # r=1: collide at low jaccard
+    idx = NearDupIndex.create(spark, str(tmp_path / "ndi"), **params)
+    sub = ChangelogSubscription(
+        t, str(tmp_path / "cursor.json"), start_at="origin"
+    )
+
+    got = set()
+    for e in range(3):
+        apply_batch(t, ev.filter(F.pmod(F.col("source_pos"), F.lit(3)) == e), epoch=e)
+        df, target = sub.poll()
+        inserts = df.filter(F.col("change_type") == "insert").select("url", "text")
+        got |= _pairs(idx.add(inserts, id_col="url", text_col="text"))
+        sub.ack(target)
+
+    final = read_current(t).select("url", "text")
+    expect = _pairs(
+        minhash_lsh_candidates(
+            final, "url", "text",
+            k=params["k"], n_bands=params["n_bands"],
+            shingle_n=params["shingle_n"], seed=params["seed"],
+        )
+    )
+    assert got == expect
+    assert expect  # the generated corpus genuinely has colliding pages
