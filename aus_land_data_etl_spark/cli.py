@@ -28,6 +28,11 @@ In the sandbox the same job runs on ``local[N]``.  Modes:
 - ``vacuum``    retention + failure cleanup: expire old snapshots
                 (--keep-last) then remove age-gated orphan files
                 (--grace-hours; crash leftovers, lost-race spills)
+- ``tag``       name the current (or --version) snapshot (--name) as a
+                retention root / rollback anchor; --drop removes it
+- ``rollback``  restore the table to --to (version number or tag name)
+                as a new metadata-only commit; exactly-once state is
+                restored too, so replaying the stream reconverges
 """
 
 from __future__ import annotations
@@ -43,7 +48,7 @@ def main(argv: list[str] | None = None) -> None:
         "mode",
         choices=[
             "ingest", "generate", "compact", "zorder", "derive", "audit",
-            "stats", "vacuum",
+            "stats", "vacuum", "tag", "rollback",
         ],
     )
     p.add_argument("--wal", help="WAL directory (parquet change events)")
@@ -72,6 +77,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     p.add_argument("--keep-last", type=int, default=2,
                    help="vacuum: snapshots to retain")
+    p.add_argument("--name", help="tag: tag name")
+    p.add_argument("--version", type=int, help="tag: version to tag (default current)")
+    p.add_argument("--drop", action="store_true", help="tag: remove the tag")
+    p.add_argument("--to", help="rollback: target version number or tag name")
     p.add_argument("--grace-hours", type=float, default=1.0,
                    help="vacuum: age gate for orphan removal")
     p.add_argument("--cores", default=None)
@@ -254,6 +263,39 @@ def main(argv: list[str] | None = None) -> None:
                 "fallback": bp.fallback,
             }
         print(json.dumps(out, default=str))
+        return
+
+    if args.mode == "tag":
+        if not args.name:
+            p.error("--name is required for tag mode")
+        if args.drop:
+            table.drop_tag(args.name)
+            print(json.dumps({"mode": "tag", "dropped": args.name,
+                              "tags": table.tags()}))
+            return
+        v = table.tag(args.name, version=args.version, replace_existing=True)
+        print(json.dumps({"mode": "tag", "name": args.name, "version": v,
+                          "tags": table.tags()}))
+        return
+
+    if args.mode == "rollback":
+        if not args.to:
+            p.error("--to is required for rollback mode")
+        try:
+            ref: object = int(args.to)
+        except ValueError:
+            ref = args.to
+        v = table.rollback_to(ref)
+        print(
+            json.dumps(
+                {
+                    "mode": "rollback",
+                    "to": args.to,
+                    "snapshot": v,
+                    "live_pages": read_current(table).count(),
+                }
+            )
+        )
         return
 
     if args.mode == "derive":

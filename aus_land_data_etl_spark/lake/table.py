@@ -1102,6 +1102,81 @@ class LakeTable:
         self._write_snapshot(new_snap)
         return new_version
 
+    # -- named refs (tags) + rollback --------------------------------------
+
+    @property
+    def _refs_dir(self) -> str:
+        return os.path.join(self.root, "_refs")
+
+    def tag(self, name: str, version: int | None = None, replace_existing: bool = False) -> int:
+        """Name a snapshot (Iceberg tag analog): a durable root-level ref
+        (``_refs/<name>.json``, atomic tmp+rename) that ``expire_snapshots``
+        treats as a retention root — the tagged descriptor, its manifests
+        and its data files stay reclaim-proof until ``drop_tag``.  Tags
+        are audit/rollback anchors ("post-backfill", "pre-migration"), so
+        re-pointing one is explicit: ``replace_existing=True``."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        v = self.current_version() if version is None else version
+        self.snapshot(v)  # must exist (and not already be expired)
+        os.makedirs(self._refs_dir, exist_ok=True)
+        path = os.path.join(self._refs_dir, f"{name}.json")
+        if os.path.exists(path) and not replace_existing:
+            raise FileExistsError(f"tag {name!r} exists (use replace_existing=True)")
+        fd, tmp = tempfile.mkstemp(dir=self._refs_dir)
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({"version": v}))
+        os.replace(tmp, path)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        os.remove(os.path.join(self._refs_dir, f"{name}.json"))
+
+    def tags(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        if os.path.isdir(self._refs_dir):
+            for f in sorted(os.listdir(self._refs_dir)):
+                if f.endswith(".json"):
+                    with open(os.path.join(self._refs_dir, f)) as fh:
+                        out[f[:-5]] = json.load(fh)["version"]
+        return out
+
+    def resolve_ref(self, ref: int | str) -> int:
+        """A version number, or a tag name → its version."""
+        if isinstance(ref, int):
+            return ref
+        tags = self.tags()
+        if ref not in tags:
+            raise KeyError(f"unknown tag {ref!r} (have {sorted(tags)})")
+        return tags[ref]
+
+    def rollback_to(self, ref: int | str) -> int:
+        """Restore the table to an earlier snapshot's state as a NEW
+        commit (Iceberg ``rollback_to_snapshot``): metadata-only — the
+        new descriptor re-references the old version's data files,
+        schema, bucket count, file stats AND its exactly-once state
+        (offset watermarks / epoch window), so replaying the change
+        stream from the rolled-back point re-applies and reconverges
+        (``is_applied`` answers from the restored watermarks).  History
+        is preserved: the bad versions stay time-travelable until
+        retention drops them, and the changelog emits the net undo diff
+        across the rollback commit like any other interval."""
+        target = self.resolve_ref(ref)
+        cur = self.snapshot()
+        if target == cur.version:
+            return cur.version
+        old = self.snapshot(target)  # FileNotFoundError if expired
+        new_version = cur.version + 1
+        new_snap = replace(
+            old,
+            version=new_version,
+            manifest_files=self._next_manifest_files(old, new_version, None),
+        )
+        self._write_snapshot(new_snap)
+        return new_version
+
     def overwrite(
         self,
         df: DataFrame,
@@ -1669,9 +1744,14 @@ class LakeTable:
 
     def expire_snapshots(self, keep_last: int = 2) -> None:
         """Drop snapshot descriptors and data dirs no current snapshot
-        references (the REINDEX/compaction analog; Iceberg expire_snapshots)."""
+        references (the REINDEX/compaction analog; Iceberg expire_snapshots).
+
+        Tagged versions (``tag``) are retention roots: they, their
+        manifests, and their data files survive regardless of
+        ``keep_last`` until the tag is dropped."""
         current = self.current_version()
         keep = set(range(max(0, current - keep_last + 1), current + 1))
+        keep |= {v for v in self.tags().values() if v <= current}
         live_files: set[str] = set()
         live_manifests: set[str] = set()
         for v in keep:

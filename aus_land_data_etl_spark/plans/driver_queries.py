@@ -127,6 +127,47 @@ def q_cdc_engine_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_lake_rollback_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recover-from-bad-deploy flow: apply 2 of 4 epochs, ``tag`` the
+    good snapshot, apply the rest, ``rollback_to`` the tag (metadata-only
+    — the new descriptor re-references the tagged version's files AND
+    its exactly-once offset watermarks), then REPLAY the rolled-back
+    epochs from the change stream.  Because rollback restored the
+    watermarks, the replayed batches genuinely re-apply (not no-op) and
+    the table reconverges to the same LWW final state — shares
+    ``ORACLE_CDC_CONVERGE``.  A rollback that kept stale epoch state
+    (replay skipped ⇒ missing rows) or restored files wrongly hashes
+    differently."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.merge import read_current
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_rb_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        batches = [
+            changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            for i in range(4)
+        ]
+        for i in (0, 1):
+            apply_batch(table, batches[i], epoch=i)
+        table.tag("known-good")
+        for i in (2, 3):
+            apply_batch(table, batches[i], epoch=i)
+        table.rollback_to("known-good")
+        for i in (2, 3):  # replay from the stream — must re-apply
+            apply_batch(table, batches[i], epoch=i)
+        out = read_current(table).select(
+            F.col("url"),
+            F.col("warc_ts"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("text"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 ORACLE_CDC_CONVERGE = """
 WITH ranked AS (
   SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
@@ -3755,6 +3796,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_build_lsh": q_corpus_build_lsh,
     "emb_topk_ivf_incremental": q_emb_topk_ivf_incremental,
     "neardup_index_incremental": q_neardup_index_incremental,
+    "lake_rollback_converge": q_lake_rollback_converge,
     "domain_mix_sample": q_domain_mix_sample,
     "lake_zorder_prune": q_lake_zorder_prune,
     "lake_zorder_incremental": q_lake_zorder_incremental,
@@ -3819,6 +3861,8 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "cdc_engine_converge": ORACLE_CDC_CONVERGE,
+    # rollback + stream replay reconverges to the identical LWW state
+    "lake_rollback_converge": ORACLE_CDC_CONVERGE,
     "cdc_schema_evolution_converge": ORACLE_CDC_SCHEMA_EVOLUTION,
     "cdc_stream_pipeline": ORACLE_CDC_CONVERGE,
     "w1_canonical": ORACLE_W1,

@@ -41,6 +41,12 @@ SUBMIT=(spark-submit --master "local[$CORES]" --py-files "$ZIP")
     --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
     | tail -1 | tee "$WORK/out_compact.json"
 
+# anchor the post-compact snapshot: the tag must survive the keep-last-1
+# vacuum below and remain a valid rollback target at the end
+"${SUBMIT[@]}" driver.py tag \
+    --table "$WORK/tbl" --name post-compact \
+    --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_tag.json"
+
 "${SUBMIT[@]}" driver.py zorder \
     --table "$WORK/tbl" --zorder-cols warc_ts,lang --incremental \
     --min-files 1 --files-per-bucket 2 \
@@ -65,6 +71,12 @@ SUBMIT=(spark-submit --master "local[$CORES]" --py-files "$ZIP")
 "${SUBMIT[@]}" driver.py stats \
     --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
     | tail -1 | tee "$WORK/out_stats2.json"
+
+# the tagged snapshot outlived keep-last-1 retention: roll back to it
+# (metadata-only) and the serving view must still hold every page
+"${SUBMIT[@]}" driver.py rollback \
+    --table "$WORK/tbl" --to post-compact \
+    --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_rollback.json"
 
 python3 - "$WORK" <<'EOF'
 import json, sys
@@ -91,6 +103,13 @@ assert st["count_plan"]["fallback"] is False, st
 assert vac["data_files"] > 0, vac
 assert st2["count"] == ing["live_pages"], (st2, ing)
 assert st2["count_plan"]["scanned_files"] == 0, st2
+tag = json.load(open(f"{w}/out_tag.json"))
+rb = json.load(open(f"{w}/out_rollback.json"))
+# compact mode may commit twice (data rewrite + manifest merge): the tag
+# names whatever the current snapshot is at tag time
+assert tag["version"] >= comp["snapshot"], (tag, comp)
+assert rb["snapshot"] > st2["snapshot"], (rb, st2)
+assert rb["live_pages"] == ing["live_pages"], (rb, ing)
 print(json.dumps({"submit_smoke": "ok", "live_pages": ing["live_pages"],
                   "stats_count_metadata_only": True,
                   "vacuum_reclaimed_files": vac["data_files"],

@@ -111,6 +111,11 @@ def event_logs(draw, with_patches: bool = False):
                     "zorder",
                     "zorder_inc",
                     "retention",
+                    # rollback to an earlier snapshot, then REPLAY the
+                    # undone batches: restored exactly-once state must
+                    # re-apply them and reconverge (handled in the
+                    # runners — it needs the batch context)
+                    "rollback",
                 ]
             )
         )
@@ -272,16 +277,41 @@ def _check_metadata_aggs(table, live_ts_by_url):
         assert bp.lo is None and bp.hi is None and bp.count_nonnull == 0, bp
 
 
+def _rollback_and_replay(table, vers_after, applied, i, apply_fn, wal):
+    """Roll the table back to the snapshot recorded after batch j ≤ i,
+    then replay batches j+1..i with their original epochs/modes.  The
+    restored offset watermarks / epoch window must let the replay
+    genuinely re-apply (not no-op), reconverging to the state after
+    batch i — so the caller's end-state oracle is unchanged.  A
+    preceding retention op may have expired the target descriptor;
+    rollback then raises and the op degrades to a no-op (the same
+    contract a production rollback has: only retained snapshots are
+    targets)."""
+    j = i // 2
+    try:
+        table.rollback_to(vers_after[j])
+    except FileNotFoundError:
+        return
+    for bdf, epoch, mode in applied[j + 1 : i + 1]:
+        apply_fn(table, bdf, epoch=epoch, mode=mode, wal_offsets=wal)
+
+
 def _run_row_log(spark, tmp_path_factory, log):
     events, n_batches, modes, _offset_mode, wal, *rest = log
     maint = rest[0] if rest else [None] * n_batches
     d = str(tmp_path_factory.mktemp("prop"))
     table = create_pages_table(spark, d, n_buckets=2)
     df = spark.createDataFrame(to_rows(events), EVENT_SCHEMA)
+    vers_after, applied = [], []
     for i in range(n_batches):
         batch = df.filter(F.pmod(F.xxhash64("event_id"), F.lit(n_batches)) == i)
         apply_batch(table, batch, epoch=i, mode=modes[i], wal_offsets=wal)
-        _do_maint(table, maint[i])
+        applied.append((batch, i, modes[i]))
+        vers_after.append(table.current_version())
+        if maint[i] == "rollback":
+            _rollback_and_replay(table, vers_after, applied, i, apply_batch, wal)
+        else:
+            _do_maint(table, maint[i])
     got = {
         r["url"]: ((r["warc_ts"] - BASE).total_seconds(), r["event_id"])
         for r in read_current(table).collect()
@@ -296,10 +326,18 @@ def _run_patch_log(spark, tmp_path_factory, log):
     d = str(tmp_path_factory.mktemp("propp"))
     table = create_pages_table(spark, d, n_buckets=2)
     df = spark.createDataFrame(to_patch_rows(events), PATCH_EVENT_SCHEMA)
+    vers_after, applied = [], []
     for i in range(n_batches):
         batch = df.filter(F.pmod(F.xxhash64("event_id"), F.lit(n_batches)) == i)
         apply_patch_batch(table, batch, epoch=i, mode=modes[i], wal_offsets=wal)
-        _do_maint(table, maint[i])
+        applied.append((batch, i, modes[i]))
+        vers_after.append(table.current_version())
+        if maint[i] == "rollback":
+            _rollback_and_replay(
+                table, vers_after, applied, i, apply_patch_batch, wal
+            )
+        else:
+            _do_maint(table, maint[i])
     got = {
         r["url"]: (
             (r["warc_ts"] - BASE).total_seconds(),
