@@ -87,6 +87,87 @@ def read_dead_letters(table: LakeTable) -> DataFrame:
     )
 
 
+def replay_dead_letters(
+    table: LakeTable,
+    registry: SchemaRegistry | None = None,
+    n_salts: int = DEFAULT_SALTS,
+    mode: str = "mor",
+) -> dict[str, int]:
+    """Re-inject quarantined events once the registry has learned their
+    schema versions — the repair half of the dead-letter contract
+    (``write_dead_letters`` quarantines "for replay once the registry
+    learns the version"; this is that replay).
+
+    Per quarantined epoch directory ``e<id>``:
+
+    - events the given registry NOW understands re-apply through the
+      normal exactly-once path under the distinct epoch key
+      ``dlq-<id>`` (LWW makes late application safe: a quarantined
+      update older than the current row loses, exactly as if it had
+      arrived on time — the same total order);
+    - events still unknown stay quarantined (the directory is rewritten
+      with only those rows, or removed when none remain);
+    - crash-safe: a crash between the apply and the directory rewrite
+      re-replays the same rows under the same ``dlq-<id>`` epoch on the
+      next run, which the exactly-once guard skips, and the rewrite
+      then completes.
+
+    Returns ``{"replayed": rows re-applied, "still_dead": rows left
+    quarantined, "epochs": directories replayed}``.
+    """
+    import os
+    import shutil as _shutil
+
+    from aus_land_data_etl_spark.cdc.events import EVENT_SCHEMA
+
+    registry = registry or SchemaRegistry()
+    d = os.path.join(table.root, "_dead_letter")
+    out = {"replayed": 0, "still_dead": 0, "epochs": 0}
+    if not os.path.isdir(d):
+        return out
+    for sub in sorted(os.listdir(d)):
+        full = os.path.join(d, sub)
+        if not (os.path.isdir(full) and sub.startswith("e")):
+            continue
+        events = table.spark.read.schema(EVENT_SCHEMA).parquet(full)
+        # materialise BOTH splits before any directory rewrite — the
+        # still-dead write below must never read the files it replaces
+        ready = registry.valid(events).localCheckpoint(eager=True)
+        still = registry.dead_letter(events).localCheckpoint(eager=True)
+        n_ready, n_still = ready.count(), still.count()
+        if n_ready == 0:
+            out["still_dead"] += n_still
+            continue
+        # content-keyed commit, NOT the bare directory name: two partial
+        # replays of the same directory (registry learned version A,
+        # later version B) carry different row sets and must both
+        # apply, while a crash-retry of the SAME row set must skip —
+        # exactly the content-identity contract the streaming runner
+        # uses (a fixed "dlq-<id>" epoch key silently no-ops the second
+        # partial replay; caught by the partial-knowledge test)
+        apply_batch(
+            table,
+            ready,
+            epoch=f"dlq-{sub[1:]}",
+            registry=registry,
+            n_salts=n_salts,
+            mode=mode,
+            content_keyed=True,
+            dead_letter=False,  # ready rows are known-projectable
+        )
+        if n_still:
+            tmp = full + ".tmp"
+            still.write.mode("overwrite").parquet(tmp)
+            _shutil.rmtree(full)
+            os.rename(tmp, full)
+        else:
+            _shutil.rmtree(full)
+        out["replayed"] += n_ready
+        out["still_dead"] += n_still
+        out["epochs"] += 1
+    return out
+
+
 def create_pages_table(
     spark: SparkSession, root: str, n_buckets: int = 32
 ) -> LakeTable:

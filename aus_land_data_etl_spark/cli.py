@@ -28,6 +28,9 @@ In the sandbox the same job runs on ``local[N]``.  Modes:
 - ``vacuum``    retention + failure cleanup: expire old snapshots
                 (--keep-last) then remove age-gated orphan files
                 (--grace-hours; crash leftovers, lost-race spills)
+- ``dlq``       count quarantined unknown-schema events; with --replay,
+                re-inject those the registry now understands
+                (--known-versions extends it), exactly-once per row set
 - ``tag``       name the current (or --version) snapshot (--name) as a
                 retention root / rollback anchor; --drop removes it
 - ``rollback``  restore the table to --to (version number or tag name)
@@ -48,7 +51,7 @@ def main(argv: list[str] | None = None) -> None:
         "mode",
         choices=[
             "ingest", "generate", "compact", "zorder", "derive", "audit",
-            "stats", "vacuum", "tag", "rollback",
+            "stats", "vacuum", "tag", "rollback", "dlq",
         ],
     )
     p.add_argument("--wal", help="WAL directory (parquet change events)")
@@ -81,6 +84,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--version", type=int, help="tag: version to tag (default current)")
     p.add_argument("--drop", action="store_true", help="tag: remove the tag")
     p.add_argument("--to", help="rollback: target version number or tag name")
+    p.add_argument("--replay", action="store_true",
+                   help="dlq: re-inject quarantined events the registry knows")
+    p.add_argument("--known-versions",
+                   help="dlq: comma-separated schema versions the registry"
+                        " should accept (default: built-in set)")
     p.add_argument("--grace-hours", type=float, default=1.0,
                    help="vacuum: age gate for orphan removal")
     p.add_argument("--cores", default=None)
@@ -263,6 +271,23 @@ def main(argv: list[str] | None = None) -> None:
                 "fallback": bp.fallback,
             }
         print(json.dumps(out, default=str))
+        return
+
+    if args.mode == "dlq":
+        from aus_land_data_etl_spark.cdc.apply import (
+            read_dead_letters,
+            replay_dead_letters,
+        )
+        from aus_land_data_etl_spark.cdc.registry import SchemaRegistry
+
+        registry = SchemaRegistry(
+            tuple(int(v) for v in args.known_versions.split(","))
+        ) if args.known_versions else SchemaRegistry()
+        out = {"mode": "dlq", "quarantined": read_dead_letters(table).count()}
+        if args.replay:
+            out.update(replay_dead_letters(table, registry=registry))
+            out["quarantined_after"] = read_dead_letters(table).count()
+        print(json.dumps(out))
         return
 
     if args.mode == "tag":

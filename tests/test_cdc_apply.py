@@ -288,3 +288,64 @@ def test_unknown_schema_events_quarantined(spark, tmp_table_dir):
     apply_batch(t, batch, epoch=0)
     assert t.current_version() == v
     assert read_dead_letters(t).count() == n_bad
+
+
+def test_dead_letter_replay_after_registry_learns_version(
+    spark, tmp_table_dir, tmp_path
+):
+    """The repair half of the quarantine contract: once the registry
+    learns a version, ``replay_dead_letters`` re-applies the quarantined
+    rows through the exactly-once path and the table converges to
+    EXACTLY the state a registry that knew the version at ingest time
+    would have produced (engine-vs-engine differential).  Partial
+    knowledge replays partially; a second replay is a no-op."""
+    from aus_land_data_etl_spark.cdc.apply import (
+        read_dead_letters,
+        replay_dead_letters,
+    )
+    from aus_land_data_etl_spark.cdc.registry import SchemaRegistry
+
+    ev = generate_events(spark, 400, seed=56).localCheckpoint(eager=True)
+    pos = F.pmod(F.col("source_pos"), F.lit(10))
+    batch = ev.withColumn(
+        "schema_version",
+        F.when(pos == 0, F.lit(98))
+        .when(pos == 1, F.lit(99))
+        .otherwise(F.col("schema_version")),
+    ).localCheckpoint(eager=True)
+    n98 = batch.filter(F.col("schema_version") == 98).count()
+    n99 = batch.filter(F.col("schema_version") == 99).count()
+    assert n98 > 0 and n99 > 0
+
+    t = create_pages_table(spark, tmp_table_dir, n_buckets=4)
+    apply_batch(t, batch, epoch=0)  # default registry: 98+99 quarantined
+    assert read_dead_letters(t).count() == n98 + n99
+
+    # the registry learns 99 (but not 98): partial replay
+    knows99 = SchemaRegistry(versions=(1, 2, 3, 4, 99))
+    r1 = replay_dead_letters(t, registry=knows99)
+    assert r1 == {"replayed": n99, "still_dead": n98, "epochs": 1}
+    left = read_dead_letters(t)
+    assert left.count() == n98
+    assert left.select("schema_version").distinct().collect()[0][0] == 98
+
+    # then 98 too: everything drains
+    knows_all = SchemaRegistry(versions=(1, 2, 3, 4, 98, 99))
+    r2 = replay_dead_letters(t, registry=knows_all)
+    assert r2 == {"replayed": n98, "still_dead": 0, "epochs": 1}
+    assert read_dead_letters(t).count() == 0
+
+    # differential: identical to a single ingest under the knowing registry
+    t2 = create_pages_table(spark, str(tmp_path / "ref"), n_buckets=4)
+    apply_batch(t2, batch, epoch=0, registry=knows_all)
+    cols = ["url", "warc_ts", "event_id", "text", "lang", "fetch_status"]
+    assert state_fingerprint(read_current(t).select(*cols)) == state_fingerprint(
+        read_current(t2).select(*cols)
+    )
+
+    # replay with nothing quarantined: pure no-op
+    v = t.current_version()
+    assert replay_dead_letters(t, registry=knows_all) == {
+        "replayed": 0, "still_dead": 0, "epochs": 0,
+    }
+    assert t.current_version() == v
