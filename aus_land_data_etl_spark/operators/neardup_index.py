@@ -243,6 +243,39 @@ class NearDupIndex:
         self._append(sigs_new)
         return pairs
 
+    def compact(self) -> dict[str, int]:
+        """Rewrite each band-bucket directory into one file.  Every
+        ``add`` appends one file per touched bucket, so after 10^4
+        ingest cycles a probe pays 10^4 file opens per bucket — the
+        classic small-file problem; this is the index's maintenance
+        rewrite (same role as the lake's ``compact``).
+
+        Crash-safe without a descriptor: new compacted files are
+        appended FIRST, the superseded originals removed after.  A crash
+        between the two leaves duplicate band rows, which the candidate
+        path tolerates by construction (``_probe`` ends in
+        ``distinct()``) and the next ``compact`` clears.  Signatures are
+        left alone — their row count is O(corpus), not O(ingest cycles).
+        """
+        import glob
+
+        bands_dir = os.path.join(self.root, "bands")
+        old = glob.glob(os.path.join(bands_dir, "bucket=*", "*.parquet"))
+        if len(old) <= self.n_buckets:
+            return {"files_before": len(old), "files_after": len(old)}
+        # one shuffle partition per bucket → one output file per directory
+        (
+            self.bands()
+            .repartition(self.n_buckets, F.col("bucket"))
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(bands_dir)
+        )
+        for p in old:
+            os.remove(p)
+        after = glob.glob(os.path.join(bands_dir, "bucket=*", "*.parquet"))
+        return {"files_before": len(old), "files_after": len(after)}
+
     def estimated(self, pairs: DataFrame) -> DataFrame:
         """Broder MinHash similarity estimate for candidate pairs off the
         persisted signatures — the cheap prefilter before an exact

@@ -187,6 +187,36 @@ def test_create_rejects_bad_banding(spark, tmp_path):
         NearDupIndex.create(spark, str(tmp_path / "x"), k=16, n_bands=5)
 
 
+def test_compact_collapses_files_and_preserves_candidates(spark, tmp_path):
+    """Each add appends one file per touched bucket; compact rewrites
+    every bucket directory to one file without changing any probe
+    result (and the index keeps accepting adds afterwards)."""
+    import glob
+
+    root = str(tmp_path / "ndi")
+    idx = NearDupIndex.create(spark, root, **PARAMS)
+    for b in range(4):
+        idx.add(_docs(spark, list(range(b * 6, b * 6 + 6))))
+
+    probe_docs = _docs(spark, [200])
+    before_pairs = _pairs(idx.candidates_for(probe_docs))
+    files_before = glob.glob(os.path.join(root, "bands", "bucket=*", "*.parquet"))
+    assert len(files_before) > PARAMS["n_buckets"]
+
+    res = idx.compact()
+    assert res["files_before"] == len(files_before)
+    assert res["files_after"] <= PARAMS["n_buckets"]
+    assert _pairs(idx.candidates_for(probe_docs)) == before_pairs
+
+    # no-op when already compact (≤ one file per bucket)
+    res2 = idx.compact()
+    assert res2["files_after"] == res2["files_before"] <= PARAMS["n_buckets"]
+
+    # still maintainable: a post-compact add sees the compacted corpus
+    after_add = _pairs(idx.add(_docs(spark, [30, 31])))
+    assert after_add  # near-dups of the indexed bases exist by construction
+
+
 def test_changelog_subscription_feeds_index(spark, tmp_path):
     """The CDC composition the index exists for: documents land in the
     lake through exactly-once CDC batches, a durable changelog

@@ -191,6 +191,53 @@ def test_subscription_mirror_reconverges_across_rollback(
     assert mirror == want
 
 
+def test_agg_view_refresh_across_rollback(spark, staged, tmp_path):
+    """An incremental aggregate view refreshed across a rollback interval
+    must retract the undone contributions (the undo diff flows through
+    the same preimage/postimage algebra as any interval) and keep
+    matching a full recompute — through the rollback AND the subsequent
+    replay of the rolled-back batch."""
+    from aus_land_data_etl_spark.lake.incremental import (
+        AggSpec,
+        AggView,
+        full_compute,
+    )
+
+    t, batches = staged
+    view = AggView.create(
+        spark,
+        str(tmp_path / "mv"),
+        t,
+        keys=["grp"],
+        aggs=[
+            AggSpec("n_pages", "count"),
+            AggSpec("sum_len", "sum", "text_len"),
+        ],
+        derived={"grp": "pmod(xxhash64(url), 5)", "text_len": "length(text)"},
+        n_buckets=2,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    view.refresh()
+    assert rows(view.read()) == rows(full_compute(view))
+    v_good = t.current_version()
+
+    apply_batch(t, batches[2], epoch=2)
+    view.refresh()
+    assert rows(view.read()) == rows(full_compute(view))
+
+    t.rollback_to(v_good)
+    view.refresh()  # the undo interval retracts batch 2's contributions
+    assert rows(view.read()) == rows(full_compute(view))
+
+    apply_batch(t, batches[2], epoch=2)  # replay after rollback
+    view.refresh()
+    assert rows(view.read()) == rows(full_compute(view))
+    assert view.refreshed_through() == t.current_version()
+
+
 def test_vacuum_spares_files_made_live_by_rollback(spark, staged, tmp_table_dir):
     """Files referenced only by a rollback target must survive vacuum:
     liveness comes from on-disk descriptors, and rollback re-references
