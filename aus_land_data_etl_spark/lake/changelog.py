@@ -260,6 +260,10 @@ def read_changes(
     from aus_land_data_etl_spark.lake.merge import DELETED_COL, OP_COL
     from aus_land_data_etl_spark.operators.patch import CELL_VERS, SET_COLS
 
+    # tag names resolve to their versions (diff between two tags:
+    # read_changes(t, "pre-migration", "post-migration"))
+    from_version = table.resolve_ref(from_version)
+    to_version = table.resolve_ref(to_version)
     snap_to: Snapshot = table.snapshot(to_version)
     key, ver = snap_to.key_col, snap_to.version_col
     payload = [

@@ -680,7 +680,13 @@ class LakeTable:
         with open(self._version_ptr) as f:
             return int(f.read().strip())
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def snapshot(self, version: int | str | None = None) -> Snapshot:
+        """Descriptor at a version — or at a TAG name: every time-travel
+        surface that takes ``version`` (``read``, ``read_resolved``,
+        ``lookup``, ``plan_scan``, changelog bounds) therefore accepts
+        ``"post-backfill"`` as readily as ``4``."""
+        if isinstance(version, str):
+            version = self.resolve_ref(version)
         v = self.current_version() if version is None else version
         with open(self._snap_path(v)) as f:
             return Snapshot.from_json(f.read())

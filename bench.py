@@ -58,6 +58,9 @@ HEADLINE_QUERIES = [
     # corpus boilerplate pass: explode -> line-key count_distinct ->
     # anti join -> per-doc rebuild (3 shuffles over the documents table)
     "dedup_lines",
+    # persisted incremental LSH dedup index: empty create -> 3 adds
+    # (bucket-pruned band probes + appends) -> exact-Jaccard verify
+    "neardup_index_incremental",
 ]
 
 

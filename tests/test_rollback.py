@@ -96,6 +96,27 @@ def test_tag_anchors_retention_and_rollback(spark, staged):
     assert t.tags() == {}
 
 
+def test_tags_work_as_time_travel_refs(spark, staged):
+    """Every version-taking surface accepts a tag name: reads, lookups,
+    and the changelog diff between two tags."""
+    t, batches = staged
+    t.tag("t1")
+    s1 = _state(t)
+    apply_batch(t, batches[2], epoch=2)
+    t.tag("t2")
+
+    live_t1 = _live_view(t, "t1", None, "event_id", COLS)
+    assert sorted(map(tuple, live_t1.collect())) == s1
+    url = live_t1.select("url").orderBy("url").first()["url"]
+    assert t.lookup(url, version="t1").count() == 1
+
+    ch = read_changes(t, "t1", "t2")
+    assert ch.count() > 0
+    assert sorted(map(tuple, ch.collect())) == sorted(
+        map(tuple, read_changes(t, t.resolve_ref("t1"), t.resolve_ref("t2")).collect())
+    )
+
+
 def test_tag_validation_and_duplicates(spark, staged):
     t, _ = staged
     with pytest.raises(ValueError):
