@@ -41,8 +41,16 @@ def generate_events(
     n_domains: int = 50,
     n_partitions: int | None = None,
     n_paragraphs: int = 12,
+    offset_base: int = 0,
 ) -> DataFrame:
-    """Return a DataFrame of EVENT_SCHEMA rows, deterministic in (args)."""
+    """Return a DataFrame of EVENT_SCHEMA rows, deterministic in (args).
+
+    ``offset_base`` shifts the lineage identity (source offsets,
+    positions, event ids) so a SECOND generated WAL segment continues
+    the binlog positions of the first instead of re-using them — offsets
+    identify deliveries, and a fresh segment starting at 0 would
+    (correctly) be skipped as replays by the offset watermarks.
+    """
     n_urls = n_urls or max(1, n_events // 4)
     if n_partitions is None:
         # Size partitions to ~4k events each (≈5 MB of html), capped at
@@ -158,12 +166,13 @@ def generate_events(
     )
 
     # ---- lineage / offsets ----------------------------------------------
-    source_partition = F.pmod(F.col("id"), F.lit(n_source_partitions)).cast("int")
-    source_offset = (F.col("id") / n_source_partitions).cast("long")
+    oid = F.col("id") + F.lit(offset_base)
+    source_partition = F.pmod(oid, F.lit(n_source_partitions)).cast("int")
+    source_offset = (oid / n_source_partitions).cast("long")
     source_file = F.concat(
         F.lit("wal/part-"), source_partition.cast("string"), F.lit(".log")
     )
-    source_pos = F.col("id").cast("long")
+    source_pos = oid.cast("long")
     event_id = F.sha2(F.concat_ws("|", source_file, source_pos.cast("string")), 256)
 
     ev = base.select(

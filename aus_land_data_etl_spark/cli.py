@@ -36,6 +36,11 @@ In the sandbox the same job runs on ``local[N]``.  Modes:
 - ``rollback``  restore the table to --to (version number or tag name)
                 as a new metadata-only commit; exactly-once state is
                 restored too, so replaying the stream reconverges
+- ``branch``    write-audit-publish: --create/--drop/--publish a named
+                branch (--name), or list branches; staged commits are
+                invisible to main until published.  Any table mode
+                (ingest, compact, stats, audit, …) accepts ``--branch``
+                to operate on the staged state instead of main
 """
 
 from __future__ import annotations
@@ -51,7 +56,7 @@ def main(argv: list[str] | None = None) -> None:
         "mode",
         choices=[
             "ingest", "generate", "compact", "zorder", "derive", "audit",
-            "stats", "vacuum", "tag", "rollback", "dlq",
+            "stats", "vacuum", "tag", "rollback", "dlq", "branch",
         ],
     )
     p.add_argument("--wal", help="WAL directory (parquet change events)")
@@ -59,6 +64,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--checkpoint", help="streaming checkpoint dir")
     p.add_argument("--n-events", type=int, default=100_000)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--offset-base", type=int, default=0,
+                   help="generate: continue binlog positions from here"
+                        " (a later WAL segment must not reuse offsets)")
     p.add_argument("--n-buckets", type=int, default=32)
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--n-salts", type=int, default=0)
@@ -86,6 +94,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--to", help="rollback: target version number or tag name")
     p.add_argument("--replay", action="store_true",
                    help="dlq: re-inject quarantined events the registry knows")
+    p.add_argument("--branch", help="operate on this branch instead of main")
+    p.add_argument("--create", action="store_true", help="branch: create --name")
+    p.add_argument("--publish", action="store_true",
+                   help="branch: fast-forward main to --name and drop it")
     p.add_argument("--known-versions",
                    help="dlq: comma-separated schema versions the registry"
                         " should accept (default: built-in set)")
@@ -107,7 +119,9 @@ def main(argv: list[str] | None = None) -> None:
         from aus_land_data_etl_spark.streaming.runner import write_event_log
 
         assert args.wal, "--wal required"
-        events = generate_events(spark, args.n_events, seed=args.seed)
+        events = generate_events(
+            spark, args.n_events, seed=args.seed, offset_base=args.offset_base
+        )
         write_event_log(events, args.wal, n_files=8)
         print(json.dumps({"mode": "generate", "events": events.count(), "wal": args.wal}))
         return
@@ -121,6 +135,8 @@ def main(argv: list[str] | None = None) -> None:
             if LakeTable.exists(args.table)
             else create_pages_table(spark, args.table, n_buckets=args.n_buckets)
         )
+        if args.branch:
+            table = table.open_branch(args.branch)
         res = run_stream(
             spark,
             table,
@@ -143,6 +159,33 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     table = LakeTable(spark, args.table)
+    if args.mode == "branch":
+        if args.create:
+            if not args.name:
+                p.error("--name is required to create a branch")
+            br = table.create_branch(args.name, from_ref=args.version)
+            print(json.dumps({"mode": "branch", "created": args.name,
+                              "fork": br.current_version()}))
+        elif args.publish:
+            if not args.name:
+                p.error("--name is required to publish a branch")
+            v = table.publish_branch(args.name)
+            print(json.dumps({"mode": "branch", "published": args.name,
+                              "snapshot": v,
+                              "live_pages": read_current(table).count()}))
+        elif args.drop:
+            if not args.name:
+                p.error("--name is required to drop a branch")
+            table.drop_branch(args.name)
+            print(json.dumps({"mode": "branch", "dropped": args.name,
+                              "branches": table.list_branches()}))
+        else:
+            print(json.dumps({"mode": "branch",
+                              "branches": table.list_branches()}))
+        return
+
+    if args.branch:
+        table = table.open_branch(args.branch)
     if args.mode == "zorder":
         from aus_land_data_etl_spark.lake.zorder import (
             cluster_zorder,

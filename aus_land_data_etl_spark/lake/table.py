@@ -517,11 +517,25 @@ class Snapshot:
 
 
 class LakeTable:
-    """Handle to a snapshot-committed bucketed parquet table."""
+    """Handle to a snapshot-committed bucketed parquet table.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``branch_name`` selects a BRANCH namespace (write-audit-publish,
+    Iceberg branch analog): descriptors ``b-<name>-v<N>.json`` and
+    pointer ``_VERSION-b-<name>`` instead of ``v<N>.json``/``_VERSION``.
+    Every commit path (MERGE, deltas, rebucket, z-order, properties) is
+    parametrised through these two path helpers, so a branch handle
+    stages ordinary exactly-once commits — data files land under the
+    shared ``data/`` (uuid-suffixed dirs, no collisions) but are
+    referenced only by branch descriptors until ``publish_branch``
+    fast-forwards main.  Readers of main never see staged state.
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, branch_name: str | None = None
+    ):
         self.spark = spark
         self.root = root
+        self.branch_name = branch_name
 
     # -- paths ------------------------------------------------------------
     @property
@@ -529,10 +543,16 @@ class LakeTable:
         return os.path.join(self.root, "_snapshots")
 
     def _snap_path(self, version: int) -> str:
+        if self.branch_name is not None:
+            return os.path.join(
+                self._snap_dir, f"b-{self.branch_name}-v{version:08d}.json"
+            )
         return os.path.join(self._snap_dir, f"v{version:08d}.json")
 
     @property
     def _version_ptr(self) -> str:
+        if self.branch_name is not None:
+            return os.path.join(self._snap_dir, f"_VERSION-b-{self.branch_name}")
         return os.path.join(self._snap_dir, "_VERSION")
 
     @property
@@ -1123,6 +1143,8 @@ class LakeTable:
         re-pointing one is explicit: ``replace_existing=True``."""
         import re as _re
 
+        if self.branch_name is not None:
+            raise ValueError("tags name MAIN versions; tag from the main handle")
         if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
             raise ValueError(f"invalid tag name: {name!r}")
         v = self.current_version() if version is None else version
@@ -1182,6 +1204,124 @@ class LakeTable:
         )
         self._write_snapshot(new_snap)
         return new_version
+
+    # -- branches (write-audit-publish) ------------------------------------
+
+    def create_branch(
+        self, name: str, from_ref: int | str | None = None
+    ) -> "LakeTable":
+        """Fork a writable branch at ``from_ref`` (default: current) —
+        the WRITE half of write-audit-publish: stage any number of
+        ordinary exactly-once commits on the branch handle (MERGE,
+        schema evolution, compaction — every path works unchanged),
+        audit the staged state (``read_current`` on the branch), then
+        ``publish_branch`` to fast-forward main atomically, or
+        ``drop_branch`` to discard.  Main readers never observe staged
+        state; the branch carries the fork's offset watermarks, so
+        publishing also lands the exactly-once bookkeeping — replaying
+        the staged WAL batches against published main no-ops."""
+        import re as _re
+
+        if self.branch_name is not None:
+            raise ValueError("branch-of-branch is not supported")
+        if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(f"invalid branch name: {name!r}")
+        fork_v = (
+            self.current_version()
+            if from_ref is None
+            else self.resolve_ref(from_ref)
+        )
+        snap = self.snapshot(fork_v)
+        br = LakeTable(self.spark, self.root, branch_name=name)
+        if os.path.exists(br._version_ptr):
+            raise FileExistsError(f"branch {name!r} exists")
+        br_snap = replace(
+            snap,
+            properties={
+                **snap.properties,
+                "_branch_name": name,
+                "_branch_fork_main": fork_v,
+            },
+        )
+        with open(br._snap_path(fork_v), "x") as f:
+            f.write(br_snap.to_json())
+        fd, tmp = tempfile.mkstemp(dir=self._snap_dir)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(fork_v))
+        os.rename(tmp, br._version_ptr)
+        return br
+
+    def open_branch(self, name: str) -> "LakeTable":
+        br = LakeTable(self.spark, self.root, branch_name=name)
+        if not os.path.exists(br._version_ptr):
+            raise FileNotFoundError(f"no branch {name!r}")
+        return br
+
+    def list_branches(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        if os.path.isdir(self._snap_dir):
+            for f in sorted(os.listdir(self._snap_dir)):
+                if f.startswith("_VERSION-b-"):
+                    with open(os.path.join(self._snap_dir, f)) as fh:
+                        out[f[len("_VERSION-b-"):]] = int(fh.read().strip())
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a branch: pointer + descriptors removed; data files
+        only the branch referenced become unreferenced and are reclaimed
+        by ``vacuum_orphans`` after its grace window."""
+        br = self.open_branch(name)
+        os.remove(br._version_ptr)
+        prefix = f"b-{name}-v"
+        for f in os.listdir(self._snap_dir):
+            if f.startswith(prefix) and f.endswith(".json"):
+                os.remove(os.path.join(self._snap_dir, f))
+
+    def publish_branch(self, name: str) -> int:
+        """Fast-forward main to the branch state (the PUBLISH half):
+        a metadata-only main commit re-referencing the branch's files,
+        schema, and exactly-once state, then the branch is dropped.
+        Refuses with ``ConflictError`` if main advanced past the fork
+        point — the staged commits were validated against a superseded
+        base; re-fork and replay the WAL batches (cheap: exactly-once
+        skip logic fast-paths anything main already absorbed)."""
+        if self.branch_name is not None:
+            raise ValueError("publish from the main handle")
+        br = self.open_branch(name)
+        br_snap = br.snapshot()
+        fork_main = br_snap.properties.get("_branch_fork_main")
+        cur = self.snapshot()
+        if cur.version != fork_main:
+            raise ConflictError(
+                f"main at v{cur.version} advanced past the branch fork "
+                f"point v{fork_main}; re-fork and replay"
+            )
+        props = {
+            k: v
+            for k, v in br_snap.properties.items()
+            if not k.startswith("_branch_")
+        }
+        new_version = cur.version + 1
+        new_snap = replace(
+            br_snap,
+            version=new_version,
+            properties=props,
+            manifest_files=self._next_manifest_files(br_snap, new_version, None),
+        )
+        self._write_snapshot(new_snap)
+        self.drop_branch(name)
+        return new_version
+
+    def _branch_descriptor_files(self) -> list[str]:
+        """On-disk descriptors of LIVE branches (dropped branches leave
+        none) — every liveness sweep (retention, orphan vacuum) must
+        treat their referenced files as live."""
+        out = []
+        live = {f"b-{n}-v" for n in self.list_branches()}
+        for f in os.listdir(self._snap_dir):
+            if f.endswith(".json") and any(f.startswith(p) for p in live):
+                out.append(f)
+        return out
 
     def overwrite(
         self,
@@ -1770,6 +1910,17 @@ class LakeTable:
             for fs in s.delta_files.values():
                 live_files.update(fs)
             live_manifests.update(s.manifest_files)
+        # live branches reference shared data/ files from their own
+        # descriptors — staged-but-unpublished state must survive main's
+        # retention sweep
+        for f in self._branch_descriptor_files():
+            with open(os.path.join(self._snap_dir, f)) as fh:
+                s = Snapshot.from_json(fh.read())
+            for fs in s.bucket_files.values():
+                live_files.update(fs)
+            for fs in s.delta_files.values():
+                live_files.update(fs)
+            live_manifests.update(s.manifest_files)
         # manifest files no retained descriptor references: compaction
         # inputs and crash/race orphans.  Files above the current version
         # may belong to an in-flight commit — left alone until it resolves.
@@ -1836,11 +1987,14 @@ class LakeTable:
         cutoff = now - grace_seconds
         live: set[str] = set()
         live_manifests: set[str] = set()
+        branch_descs = set(self._branch_descriptor_files())
         for f in os.listdir(self._snap_dir):
-            if not (f.startswith("v") and f.endswith(".json")):
+            is_main = f.startswith("v") and f.endswith(".json")
+            if not (is_main or f in branch_descs):
                 continue
             try:
-                s = self.snapshot(int(f[1:9]))
+                with open(os.path.join(self._snap_dir, f)) as fh:
+                    s = Snapshot.from_json(fh.read())
             except FileNotFoundError:
                 continue
             for fs in s.bucket_files.values():
@@ -1888,11 +2042,17 @@ class LakeTable:
                     os.remove(p)
                     removed["manifests"] += 1
         for f in os.listdir(self._snap_dir):
-            if f.startswith("v") and f.endswith(".json") or f == "_VERSION":
+            if (
+                (f.startswith("v") and f.endswith(".json"))
+                or f.startswith("_VERSION")  # main pointer + branch pointers
+                or f in branch_descs  # live-branch descriptors
+            ):
                 continue
             p = os.path.join(self._snap_dir, f)
             if os.path.isfile(p) and _old(p):
-                os.remove(p)  # mkstemp leftover from a crashed pointer swap
+                # mkstemp leftover from a crashed pointer swap, or a
+                # dropped branch's stray descriptor
+                os.remove(p)
                 removed["tmp_files"] += 1
         return removed
 

@@ -168,6 +168,48 @@ def q_lake_rollback_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_lake_wap_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: the whole change stream is staged as
+    exactly-once commits on a BRANCH (main readers see none of it), the
+    staged state is audited, then ``publish_branch`` fast-forwards main
+    metadata-only — and replaying every batch against published main is
+    a pure no-op because the exactly-once bookkeeping was published with
+    the data.  Final main state shares ``ORACLE_CDC_CONVERGE``: a
+    publish that lost a staged commit, leaked the fork's epoch state, or
+    exposed partial data hashes differently."""
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.lake.merge import read_current
+
+    changes = events_as_changes(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="cdc_wap_")
+    try:
+        table = create_pages_table(spark, d, n_buckets=8)
+        branch = table.create_branch("ingest-candidate")
+        batches = [
+            changes.filter(F.pmod(F.col("source_pos"), F.lit(4)) == i)
+            for i in range(4)
+        ]
+        for i, b in enumerate(batches):
+            apply_batch(branch, b, epoch=i)
+        if table.current_version() != 0 or read_current(table).count() != 0:
+            raise AssertionError("staged commits leaked into main")
+        table.publish_branch("ingest-candidate")
+        v = table.current_version()
+        for i, b in enumerate(batches):  # replay: must no-op
+            apply_batch(table, b, epoch=i)
+        if table.current_version() != v:
+            raise AssertionError("replay after publish was not exactly-once")
+        out = read_current(table).select(
+            F.col("url"),
+            F.col("warc_ts"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("text"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 ORACLE_CDC_CONVERGE = """
 WITH ranked AS (
   SELECT 'user:' || CAST(user_id AS VARCHAR) AS url,
@@ -3797,6 +3839,7 @@ QUERIES: dict[str, QueryFn] = {
     "emb_topk_ivf_incremental": q_emb_topk_ivf_incremental,
     "neardup_index_incremental": q_neardup_index_incremental,
     "lake_rollback_converge": q_lake_rollback_converge,
+    "lake_wap_converge": q_lake_wap_converge,
     "domain_mix_sample": q_domain_mix_sample,
     "lake_zorder_prune": q_lake_zorder_prune,
     "lake_zorder_incremental": q_lake_zorder_incremental,
@@ -3863,6 +3906,8 @@ ORACLES: dict[str, str] = {
     "cdc_engine_converge": ORACLE_CDC_CONVERGE,
     # rollback + stream replay reconverges to the identical LWW state
     "lake_rollback_converge": ORACLE_CDC_CONVERGE,
+    # branch-staged ingest + publish + replay-noop lands the same state
+    "lake_wap_converge": ORACLE_CDC_CONVERGE,
     "cdc_schema_evolution_converge": ORACLE_CDC_SCHEMA_EVOLUTION,
     "cdc_stream_pipeline": ORACLE_CDC_CONVERGE,
     "w1_canonical": ORACLE_W1,

@@ -349,3 +349,26 @@ def test_dead_letter_replay_after_registry_learns_version(
         "replayed": 0, "still_dead": 0, "epochs": 0,
     }
     assert t.current_version() == v
+
+
+def test_generator_offset_base_continues_wal(spark):
+    """A second generated WAL segment with offset_base continues the
+    binlog positions — no per-(partition, offset) overlap with the
+    first, so applying both segments lands both (offsets identify
+    deliveries; a segment re-using 0.. would correctly replay-skip)."""
+    a = generate_events(spark, 100, seed=1, dup_fraction=0.0)
+    b = generate_events(spark, 50, seed=2, offset_base=100, dup_fraction=0.0)
+    amax = a.agg(F.max("source_pos")).first()[0]
+    bmin = b.agg(F.min("source_pos")).first()[0]
+    assert bmin == amax + 1
+    overlap = (
+        a.select("source_partition", "source_offset")
+        .join(
+            b.select("source_partition", "source_offset"),
+            ["source_partition", "source_offset"],
+        )
+        .count()
+    )
+    assert overlap == 0
+    # event ids are globally unique across segments
+    assert a.select("event_id").union(b.select("event_id")).distinct().count() == 150
