@@ -78,6 +78,30 @@ SUBMIT=(spark-submit --master "local[$CORES]" --py-files "$ZIP")
     --table "$WORK/tbl" --to post-compact \
     --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_rollback.json"
 
+# write-audit-publish: stage a second WAL segment (continued binlog
+# positions) on a branch — main must not move — then publish
+"${SUBMIT[@]}" driver.py branch \
+    --table "$WORK/tbl" --create --name cand \
+    --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_brcreate.json"
+
+"${SUBMIT[@]}" driver.py generate \
+    --wal "$WORK/wal2" --table "$WORK/tbl" --n-events 20000 --seed 7 \
+    --offset-base "$N_EVENTS" \
+    --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_generate2.json"
+
+"${SUBMIT[@]}" driver.py ingest \
+    --wal "$WORK/wal2" --table "$WORK/tbl" --checkpoint "$WORK/ckpt3" \
+    --branch cand \
+    --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_bringest.json"
+
+"${SUBMIT[@]}" driver.py stats \
+    --table "$WORK/tbl" --cores "$CORES" 2>/dev/null \
+    | tail -1 | tee "$WORK/out_stats_main.json"
+
+"${SUBMIT[@]}" driver.py branch \
+    --table "$WORK/tbl" --publish --name cand \
+    --cores "$CORES" 2>/dev/null | tail -1 | tee "$WORK/out_brpublish.json"
+
 python3 - "$WORK" <<'EOF'
 import json, sys
 w = sys.argv[1]
@@ -110,6 +134,13 @@ rb = json.load(open(f"{w}/out_rollback.json"))
 assert tag["version"] >= comp["snapshot"], (tag, comp)
 assert rb["snapshot"] > st2["snapshot"], (rb, st2)
 assert rb["live_pages"] == ing["live_pages"], (rb, ing)
+bring = json.load(open(f"{w}/out_bringest.json"))
+stm = json.load(open(f"{w}/out_stats_main.json"))
+pub = json.load(open(f"{w}/out_brpublish.json"))
+assert bring["rows"] > 0, bring  # segment 2 genuinely applied on the branch
+assert stm["count"] == ing["live_pages"], (stm, ing)  # staged invisible
+assert pub["live_pages"] == bring["live_pages"], (pub, bring)
+assert pub["snapshot"] == rb["snapshot"] + 1, (pub, rb)  # metadata-only ff
 print(json.dumps({"submit_smoke": "ok", "live_pages": ing["live_pages"],
                   "stats_count_metadata_only": True,
                   "vacuum_reclaimed_files": vac["data_files"],

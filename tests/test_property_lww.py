@@ -93,7 +93,13 @@ def event_logs(draw, with_patches: bool = False):
             e + (draw(st.integers(min_value=0, max_value=6)),) for e in order
         ]
     n_batches = draw(st.integers(min_value=1, max_value=3))
-    modes = [draw(st.sampled_from(["mor", "cow"])) for _ in range(n_batches)]
+    # wap-*: the batch stages on a write-audit-publish branch and is
+    # published immediately — the end state must be indistinguishable
+    # from a direct commit in that mode
+    modes = [
+        draw(st.sampled_from(["mor", "cow", "mor", "cow", "wap-mor", "wap-cow"]))
+        for _ in range(n_batches)
+    ]
     wal = offset_mode == "unique" and draw(st.booleans())
     # random MAINTENANCE interleavings between batches: a fold, a
     # bucket-count change, or a z-order clustered rewrite must never
@@ -293,7 +299,26 @@ def _rollback_and_replay(table, vers_after, applied, i, apply_fn, wal):
     except FileNotFoundError:
         return
     for bdf, epoch, mode in applied[j + 1 : i + 1]:
-        apply_fn(table, bdf, epoch=epoch, mode=mode, wal_offsets=wal)
+        _apply_in_mode(table, apply_fn, bdf, epoch, mode, wal)
+
+
+def _apply_in_mode(table, apply_fn, batch, epoch, mode, wal):
+    """Direct commit, or stage-on-branch-then-publish for ``wap-*``
+    modes — either way the table must end in the same state."""
+    if mode.startswith("wap-"):
+        name = f"w{epoch}"
+        br = table.create_branch(name)
+        try:
+            apply_fn(br, batch, epoch=epoch, mode=mode[4:], wal_offsets=wal)
+            table.publish_branch(name)
+        except BaseException:
+            try:
+                table.drop_branch(name)
+            except FileNotFoundError:
+                pass
+            raise
+    else:
+        apply_fn(table, batch, epoch=epoch, mode=mode, wal_offsets=wal)
 
 
 def _run_row_log(spark, tmp_path_factory, log):
@@ -305,7 +330,7 @@ def _run_row_log(spark, tmp_path_factory, log):
     vers_after, applied = [], []
     for i in range(n_batches):
         batch = df.filter(F.pmod(F.xxhash64("event_id"), F.lit(n_batches)) == i)
-        apply_batch(table, batch, epoch=i, mode=modes[i], wal_offsets=wal)
+        _apply_in_mode(table, apply_batch, batch, i, modes[i], wal)
         applied.append((batch, i, modes[i]))
         vers_after.append(table.current_version())
         if maint[i] == "rollback":
@@ -329,7 +354,7 @@ def _run_patch_log(spark, tmp_path_factory, log):
     vers_after, applied = [], []
     for i in range(n_batches):
         batch = df.filter(F.pmod(F.xxhash64("event_id"), F.lit(n_batches)) == i)
-        apply_patch_batch(table, batch, epoch=i, mode=modes[i], wal_offsets=wal)
+        _apply_in_mode(table, apply_patch_batch, batch, i, modes[i], wal)
         applied.append((batch, i, modes[i]))
         vers_after.append(table.current_version())
         if maint[i] == "rollback":
