@@ -2094,3 +2094,24 @@ class LakeTable:
             ]
         )
         return self.spark.createDataFrame(rows, schema)
+
+    def refs(self) -> DataFrame:
+        """Named references as a metadata DataFrame (Iceberg's ``.refs``
+        metadata table): one row per tag and per live branch —
+        (name, kind, version).  Driver-side file reads, bounded by the
+        ref count."""
+        rows = [
+            {"name": n, "kind": "tag", "version": v}
+            for n, v in self.tags().items()
+        ] + [
+            {"name": n, "kind": "branch", "version": v}
+            for n, v in self.list_branches().items()
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("version", T.IntegerType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)

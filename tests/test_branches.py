@@ -153,6 +153,61 @@ def test_branch_validation_and_guards(spark, staged):
     t.drop_branch("a")
 
 
+def test_subscription_sees_publish_as_one_net_interval(
+    spark, staged, tmp_table_dir
+):
+    """A main-side changelog subscriber observes a branch publish as one
+    ordinary net-diff interval covering everything staged — mirror
+    convergence needs no knowledge that branches exist."""
+    from aus_land_data_etl_spark.lake.changelog import ChangelogSubscription
+
+    t, batches = staged
+    cursor = os.path.join(tmp_table_dir, "_subscribers", "m.json")
+    sub = ChangelogSubscription(t, cursor, start_at="origin")
+
+    mirror: dict[str, tuple] = {}
+
+    def consume():
+        got = sub.poll()
+        if got is None:
+            return
+        df, target = got
+        for r in df.collect():
+            if r["change_type"] == "delete":
+                mirror.pop(r["url"], None)
+            else:
+                mirror[r["url"]] = (r["warc_ts"], r["event_id"], r["text"])
+        sub.ack(target)
+
+    consume()  # the bootstrap epoch
+    br = t.create_branch("wap")
+    apply_batch(br, batches[1], epoch=1)
+    apply_batch(br, batches[2], epoch=2)
+    assert sub.poll() is None  # staged commits: nothing to deliver
+    t.publish_branch("wap")
+    consume()  # the publish interval
+
+    want = {
+        r["url"]: (r["warc_ts"], r["event_id"], r["text"])
+        for r in read_current(t).collect()
+    }
+    assert mirror == want
+
+
+def test_refs_metadata_table(spark, staged):
+    t, _ = staged
+    t.tag("stable")
+    t.create_branch("cand")
+    rows = {(r["name"], r["kind"], r["version"]) for r in t.refs().collect()}
+    assert rows == {
+        ("stable", "tag", t.resolve_ref("stable")),
+        ("cand", "branch", t.open_branch("cand").current_version()),
+    }
+    t.drop_branch("cand")
+    t.drop_tag("stable")
+    assert t.refs().count() == 0
+
+
 def test_audit_gate_recipe(spark, staged):
     """The composed WAP flow: stage, validate, publish-or-drop."""
     t, batches = staged
