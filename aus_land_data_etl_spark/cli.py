@@ -335,7 +335,10 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.mode == "tag":
         if not args.name:
-            p.error("--name is required for tag mode")
+            # bare `tag`: list every named ref (tags + live branches)
+            refs = [r.asDict() for r in table.refs().collect()]
+            print(json.dumps({"mode": "tag", "refs": refs}))
+            return
         if args.drop:
             table.drop_tag(args.name)
             print(json.dumps({"mode": "tag", "dropped": args.name,
