@@ -1308,7 +1308,17 @@ class LakeTable:
             properties=props,
             manifest_files=self._next_manifest_files(br_snap, new_version, None),
         )
-        self._write_snapshot(new_snap)
+        try:
+            self._write_snapshot(new_snap)
+        except FileExistsError as e:
+            # lost the physical descriptor race (another publish or a
+            # direct commit landed between our read and write): surface
+            # the same semantic conflict as the fork-point check, and
+            # KEEP the branch — the staged work re-forks and replays
+            raise ConflictError(
+                f"main advanced to v{new_version} during publish of "
+                f"{name!r}; re-fork and replay"
+            ) from e
         self.drop_branch(name)
         return new_version
 

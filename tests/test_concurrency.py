@@ -216,3 +216,40 @@ def test_commit_refuses_stale_planning_snapshot(spark, tmp_table_dir):
     cluster_zorder_buckets(t, ["warc_ts"], min_files=1, files_per_bucket=2)
     winner = {r["url"]: r["text"] for r in read_current(t, "event_id").collect()}
     assert winner["u1"] == "late-win"
+
+
+def test_publish_race_one_wins_one_conflicts(spark, tmp_table_dir, monkeypatch):
+    """Two branches forked at the same main version race their
+    publishes: the interposed racer lands first; the loser surfaces
+    ConflictError (its audit ran against a superseded base), main holds
+    exactly the winner's state, and the losing branch SURVIVES so its
+    staged work can re-fork and replay."""
+    events = generate_events(spark, 800, seed=33).localCheckpoint(eager=True)
+    t1 = create_pages_table(spark, tmp_table_dir, n_buckets=4)
+    apply_batch(t1, _seg(events, 0), epoch=0)
+    t2 = LakeTable(spark, tmp_table_dir)
+
+    b1 = t1.create_branch("p1")
+    b2 = t2.create_branch("p2")
+    apply_batch(b1, _seg(events, 1), epoch=1)
+    apply_batch(b2, _seg(events, 2), epoch=2)
+    winner_state = sorted(
+        map(tuple, read_current(b2).select("url", "event_id").collect())
+    )
+
+    _race_once(monkeypatch, t1, lambda: t2.publish_branch("p2"))
+    with pytest.raises(ConflictError, match="re-fork"):
+        t1.publish_branch("p1")
+
+    # main is exactly the winner's publish; the loser's branch survives
+    assert sorted(
+        map(tuple, read_current(t1).select("url", "event_id").collect())
+    ) == winner_state
+    assert set(t1.list_branches()) == {"p1"}
+
+    # recovery: re-fork from the new main, replay, publish
+    t1.drop_branch("p1")
+    b1b = t1.create_branch("p1")
+    apply_batch(b1b, _seg(events, 1), epoch=1)
+    t1.publish_branch("p1")
+    assert set(t1.snapshot().recent_epochs) >= {"0", "1", "2"}
