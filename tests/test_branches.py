@@ -208,6 +208,75 @@ def test_refs_metadata_table(spark, staged):
     assert t.refs().count() == 0
 
 
+def test_staged_maintenance_publishes_atomically(spark, staged):
+    """Maintenance is stageable too: a fold, a rebucket AND a z-order
+    clustered rewrite run on the branch; main keeps its old layout until
+    the publish lands everything (data + bucket count + clustering) in
+    one metadata commit."""
+    from aus_land_data_etl_spark.lake.merge import fold_deltas
+    from aus_land_data_etl_spark.lake.zorder import cluster_zorder
+
+    t, batches = staged
+    apply_batch(t, batches[1], epoch=1)
+    want = _state(t)
+    main_snap = t.snapshot()
+
+    br = t.create_branch("maint")
+    fold_deltas(br, "event_id")
+    br.rebucket(8)
+    br.set_properties({"stats_cols": ["warc_ts"]})
+    cluster_zorder(br, ["warc_ts"], bits=4, files_per_bucket=2)
+    assert _state(br) == want  # maintenance is state-preserving
+    assert t.snapshot().n_buckets == main_snap.n_buckets  # main untouched
+    assert t.snapshot().bucket_files == main_snap.bucket_files
+
+    t.publish_branch("maint")
+    assert t.snapshot().n_buckets == 8
+    assert _state(t) == want
+    # serving reads agree with the published layout
+    url = read_current(t).select("url").orderBy("url").first()["url"]
+    assert t.lookup(url).count() == 1
+
+
+def test_agg_view_refresh_across_publish(spark, staged, tmp_path):
+    """An incremental aggregate view fed from main refreshes across a
+    branch publish as one ordinary interval and keeps matching a full
+    recompute — derived pipelines need no knowledge of staging."""
+    from aus_land_data_etl_spark.lake.incremental import (
+        AggSpec,
+        AggView,
+        full_compute,
+    )
+
+    t, batches = staged
+    view = AggView.create(
+        spark,
+        str(tmp_path / "mv"),
+        t,
+        keys=["grp"],
+        aggs=[AggSpec("n_pages", "count")],
+        derived={"grp": "pmod(xxhash64(url), 5)"},
+        n_buckets=2,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    view.refresh()
+    assert rows(view.read()) == rows(full_compute(view))
+
+    br = t.create_branch("wap")
+    apply_batch(br, batches[1], epoch=1)
+    apply_batch(br, batches[2], epoch=2)
+    through_before = view.refreshed_through()
+    view.refresh()
+    assert view.refreshed_through() == through_before  # nothing visible
+    t.publish_branch("wap")
+    view.refresh()
+    assert rows(view.read()) == rows(full_compute(view))
+    assert view.refreshed_through() == t.current_version()
+
+
 def test_audit_gate_recipe(spark, staged):
     """The composed WAP flow: stage, validate, publish-or-drop."""
     t, batches = staged
