@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,22 +130,49 @@ class NearDupIndex:
         any candidate pairs (the backfill path: pairs inside the initial
         corpus are a one-shot ``minhash_lsh_candidates`` job if wanted)."""
         idx = cls.create(docs.sparkSession, root, **kwargs)
-        idx._append(idx._signatures(docs, id_col, text_col))
+        g = idx._next_gen()
+        idx._append(idx._signatures(docs, id_col, text_col, g), g)
         return idx
 
     # ------------------------------------------------------------------
     # internal plumbing
 
-    def _signatures(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """(doc_id, sig) for a batch — ONE shuffle over its shingle rows,
-        eagerly checkpointed: the result feeds the probe join, the
-        self-join, and the append, and must not recompute per reference."""
+    def _signatures(
+        self, docs: DataFrame, id_col: str, text_col: str, gen: int
+    ) -> DataFrame:
+        """(doc_id, sig, gen) for a batch — ONE shuffle over its shingle
+        rows, eagerly checkpointed: the result feeds the probe join, the
+        self-join, and the append, and must not recompute per reference.
+        ``gen`` is the batch's generation stamp (tombstone ordering)."""
         sigs = minhash_signatures(
             shingle_rows(docs, id_col, text_col, self.shingle_n),
             self.k,
             self.seed,
-        )
+        ).withColumn("gen", F.lit(gen).cast("long"))
         return sigs.localCheckpoint(eager=True)
+
+    @property
+    def _gen_path(self) -> str:
+        return os.path.join(self.root, "gen.txt")
+
+    def current_gen(self) -> int:
+        try:
+            with open(self._gen_path) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _next_gen(self) -> int:
+        """Bump the generation counter (single-writer feeder contract,
+        like ``add`` itself).  Tombstones and index rows are ordered by
+        these stamps: a doc is LIVE iff its newest index entry outranks
+        its newest tombstone — so remove-then-re-add just works."""
+        g = self.current_gen() + 1
+        tmp = self._gen_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(g))
+        os.replace(tmp, self._gen_path)
+        return g
 
     def _bands_with_bucket(self, sigs: DataFrame) -> DataFrame:
         return band_rows(sigs, self.k, self.n_bands).withColumn(
@@ -169,21 +197,32 @@ class NearDupIndex:
         """The full persisted band table (maintenance / audit surface)."""
         if not self._has_parquet("bands"):
             return self._empty(
-                f"doc_id {self.id_type}, band int, band_hash bigint, bucket int"
+                f"doc_id {self.id_type}, band int, band_hash bigint,"
+                " gen long, bucket int"
             )
         return self.spark.read.parquet(os.path.join(self.root, "bands"))
 
     def sigs(self) -> DataFrame:
         if not self._has_parquet("sigs"):
             return self._empty(
-                f"doc_id {self.id_type}, sig array<bigint>, sbucket int"
+                f"doc_id {self.id_type}, sig array<bigint>, gen long,"
+                " sbucket int"
             )
         return self.spark.read.parquet(os.path.join(self.root, "sigs"))
 
-    def _append(self, sigs_new: DataFrame) -> None:
-        self._bands_with_bucket(sigs_new).write.mode("append").partitionBy(
-            "bucket"
-        ).parquet(os.path.join(self.root, "bands"))
+    def removed(self) -> DataFrame:
+        if not self._has_parquet("removed"):
+            return self._empty(f"doc_id {self.id_type}, gen long")
+        return self.spark.read.parquet(os.path.join(self.root, "removed"))
+
+    def _append(self, sigs_new: DataFrame, gen: int) -> None:
+        # one add = one generation: the band rows' stamp is a constant,
+        # not a per-row join back to the signature frame
+        self._bands_with_bucket(sigs_new.drop("gen")).withColumn(
+            "gen", F.lit(gen).cast("long")
+        ).write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(self.root, "bands")
+        )
         sigs_new.withColumn(
             "sbucket",
             F.pmod(
@@ -218,7 +257,55 @@ class NearDupIndex:
             )
         )
         within = band_pairs(sigs_new, self.k, self.n_bands)
-        return cross.unionAll(within.select("id_a", "id_b")).distinct()
+        pairs = cross.unionAll(within.select("id_a", "id_b")).distinct()
+        return self._filter_tombstoned(pairs, sigs_new)
+
+    def _filter_tombstoned(
+        self, pairs: DataFrame, sigs_new: DataFrame
+    ) -> DataFrame:
+        """Drop pairs whose corpus side is tombstoned: a doc is live iff
+        its newest index entry (sigs ∪ this batch) outranks its newest
+        tombstone.  Fast path: no tombstones → no extra joins.  The
+        liveness aggregation reads only the signature partitions the
+        pair ids hash into (sbucket pruning) plus the tombstone table
+        (assumed small relative to the corpus — deletes are the rare
+        op; ``compact`` folds them away entirely)."""
+        if not self._has_parquet("removed"):
+            return pairs
+        ids = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("id_b")))
+            .distinct()
+            .withColumn(
+                "sbucket",
+                F.pmod(
+                    F.xxhash64(F.lit(self.seed + 2), F.col("doc_id")),
+                    F.lit(self.n_buckets),
+                ).cast("int"),
+            )
+        )
+        probed = sorted(
+            r["sbucket"] for r in ids.select("sbucket").distinct().collect()
+        )
+        entries = (
+            self.sigs()
+            .filter(F.col("sbucket").isin(probed))
+            .select("doc_id", "gen")
+            .unionAll(sigs_new.select("doc_id", "gen"))
+            .join(ids.select("doc_id"), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.max("gen").alias("agen"))
+        )
+        rgen = self.removed().groupBy("doc_id").agg(F.max("gen").alias("rgen"))
+        alive = (
+            entries.join(rgen, "doc_id", "left")
+            .filter(F.col("agen") > F.coalesce(F.col("rgen"), F.lit(-1)))
+            .select("doc_id")
+        )
+        return (
+            pairs.join(alive.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+            .join(alive.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        )
 
     # ------------------------------------------------------------------
     # public surface
@@ -227,8 +314,12 @@ class NearDupIndex:
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> DataFrame:
         """Probe-only: candidate pairs for a batch against corpus ∪ batch,
-        WITHOUT mutating the index (e.g. pre-admission screening)."""
-        return self._probe(self._signatures(docs, id_col, text_col))
+        WITHOUT mutating the index (e.g. pre-admission screening).  The
+        peek generation (current + 1, never persisted) outranks every
+        tombstone, so the probed batch always counts as live."""
+        return self._probe(
+            self._signatures(docs, id_col, text_col, self.current_gen() + 1)
+        )
 
     def add(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -237,11 +328,34 @@ class NearDupIndex:
         and batch-vs-batch).  The pair set is materialised (eager
         localCheckpoint) BEFORE the band/signature append so the probe
         can never observe the batch's own freshly-written files —
-        add-then-probe races are structurally impossible."""
-        sigs_new = self._signatures(docs, id_col, text_col)
+        add-then-probe races are structurally impossible.  Adding a
+        previously-removed doc_id revives it (its new generation
+        outranks the tombstone)."""
+        g = self._next_gen()
+        sigs_new = self._signatures(docs, id_col, text_col, g)
         pairs = self._probe(sigs_new).localCheckpoint(eager=True)
-        self._append(sigs_new)
+        self._append(sigs_new, g)
         return pairs
+
+    def remove(self, doc_ids) -> int:
+        """Tombstone documents (the delete half of a CDC feed): future
+        probes stop reporting pairs against them; an ``add`` of the same
+        id revives it.  Stale band rows (and, for a revived doc, its
+        OLD text's rows) stay on disk until ``compact`` folds them —
+        until then a revived doc can surface stale-text candidates,
+        which the exact-verify step downstream already filters (the
+        candidate set is a superset by contract).  Accepts a DataFrame
+        with a ``doc_id`` column or a Python list of ids."""
+        g = self._next_gen()
+        if not isinstance(doc_ids, DataFrame):
+            doc_ids = self.spark.createDataFrame(
+                [(d,) for d in doc_ids], f"doc_id {self.id_type}"
+            )
+        tomb = doc_ids.select("doc_id").distinct().withColumn(
+            "gen", F.lit(g).cast("long")
+        )
+        tomb.write.mode("append").parquet(os.path.join(self.root, "removed"))
+        return g
 
     def compact(self) -> dict[str, int]:
         """Rewrite each band-bucket directory into one file.  Every
@@ -250,22 +364,43 @@ class NearDupIndex:
         classic small-file problem; this is the index's maintenance
         rewrite (same role as the lake's ``compact``).
 
+        With tombstones present the rewrite also PURGES: band and
+        signature rows whose generation does not outrank the doc's
+        newest tombstone are dropped, and the tombstone table is cleared
+        (the liveness filter becomes a no-op again).
+
         Crash-safe without a descriptor: new compacted files are
-        appended FIRST, the superseded originals removed after.  A crash
-        between the two leaves duplicate band rows, which the candidate
-        path tolerates by construction (``_probe`` ends in
-        ``distinct()``) and the next ``compact`` clears.  Signatures are
-        left alone — their row count is O(corpus), not O(ingest cycles).
+        appended FIRST, the superseded originals removed after, the
+        tombstone table last.  A crash between the steps leaves either
+        duplicate band rows — tolerated by construction (``_probe`` ends
+        in ``distinct()``) — or tombstones whose dead rows are already
+        gone (the liveness filter is then merely redundant); the next
+        ``compact`` converges either way.
         """
         import glob
 
         bands_dir = os.path.join(self.root, "bands")
+        sigs_dir = os.path.join(self.root, "sigs")
         old = glob.glob(os.path.join(bands_dir, "bucket=*", "*.parquet"))
-        if len(old) <= self.n_buckets:
+        purge = self._has_parquet("removed")
+        if not purge and len(old) <= self.n_buckets:
             return {"files_before": len(old), "files_after": len(old)}
+
+        def survivors(df: DataFrame) -> DataFrame:
+            if not purge:
+                return df
+            rgen = (
+                self.removed().groupBy("doc_id").agg(F.max("gen").alias("rgen"))
+            )
+            return (
+                df.join(F.broadcast(rgen), "doc_id", "left")
+                .filter(F.col("gen") > F.coalesce(F.col("rgen"), F.lit(-1)))
+                .drop("rgen")
+            )
+
         # one shuffle partition per bucket → one output file per directory
         (
-            self.bands()
+            survivors(self.bands())
             .repartition(self.n_buckets, F.col("bucket"))
             .write.mode("append")
             .partitionBy("bucket")
@@ -273,6 +408,18 @@ class NearDupIndex:
         )
         for p in old:
             os.remove(p)
+        if purge:
+            old_sigs = glob.glob(os.path.join(sigs_dir, "sbucket=*", "*.parquet"))
+            (
+                survivors(self.sigs())
+                .repartition(self.n_buckets, F.col("sbucket"))
+                .write.mode("append")
+                .partitionBy("sbucket")
+                .parquet(sigs_dir)
+            )
+            for p in old_sigs:
+                os.remove(p)
+            shutil.rmtree(os.path.join(self.root, "removed"), ignore_errors=True)
         after = glob.glob(os.path.join(bands_dir, "bucket=*", "*.parquet"))
         return {"files_before": len(old), "files_after": len(after)}
 

@@ -119,7 +119,7 @@ def test_probe_prunes_unprobed_bucket_directories(spark, tmp_path):
     idx = NearDupIndex.build(_docs(spark, list(range(24))), root, **PARAMS)
 
     one = _docs(spark, [100])  # single new doc → few band buckets
-    sigs = idx._signatures(one, "doc_id", "text")
+    sigs = idx._signatures(one, "doc_id", "text", idx.current_gen() + 1)
     probed = {
         r["bucket"]
         for r in idx._bands_with_bucket(sigs).select("bucket").distinct().collect()
@@ -215,6 +215,49 @@ def test_compact_collapses_files_and_preserves_candidates(spark, tmp_path):
     # still maintainable: a post-compact add sees the compacted corpus
     after_add = _pairs(idx.add(_docs(spark, [30, 31])))
     assert after_add  # near-dups of the indexed bases exist by construction
+
+
+def test_remove_tombstones_and_revive(spark, tmp_path):
+    """The delete half of a CDC feed: removed docs vanish from probe
+    results, re-adding revives them, and compact physically purges dead
+    rows so the post-compact index equals a fresh build over the LIVE
+    corpus exactly."""
+    all_ids = list(range(24))
+    idx = NearDupIndex.build(_docs(spark, all_ids), str(tmp_path / "ndi"), **PARAMS)
+
+    probe = _docs(spark, [100])  # near-dup of base-0 docs (0, 4, 8, ...)
+    before = _pairs(idx.candidates_for(probe))
+    base0 = [i for i in all_ids if i % 4 == 0]
+    assert any(a in base0 or b in base0 for a, b in before)
+
+    # remove every base-0 doc: pairs against them must vanish
+    idx.remove(base0)
+    after = _pairs(idx.candidates_for(probe))
+    assert after == {
+        (a, b) for a, b in before if a not in base0 and b not in base0
+    }
+
+    # revive one with NEW text (update = delete + re-add)
+    revived = spark.createDataFrame(
+        [(0, _docs(spark, [100]).first()["text"])], "doc_id long, text string"
+    )
+    idx.add(revived)
+    rev = _pairs(idx.candidates_for(probe))
+    assert (0, 100) in rev  # the revived doc matches the probe again
+    assert not any(
+        (a in base0 or b in base0) and 0 not in (a, b) for a, b in rev
+    )  # the still-dead docs stay dead
+
+    # compact purges: index state == fresh build over the live corpus
+    idx.compact()
+    assert not os.path.isdir(os.path.join(idx.root, "removed"))
+    live_docs = _docs(spark, [i for i in all_ids if i not in base0]).unionByName(
+        revived
+    )
+    fresh = NearDupIndex.build(live_docs, str(tmp_path / "fresh"), **PARAMS)
+    assert _pairs(idx.candidates_for(probe)) == _pairs(
+        fresh.candidates_for(probe)
+    )
 
 
 def test_changelog_subscription_feeds_index(spark, tmp_path):
