@@ -187,6 +187,66 @@ def test_create_rejects_bad_banding(spark, tmp_path):
         NearDupIndex.create(spark, str(tmp_path / "x"), k=16, n_bands=5)
 
 
+def test_mixed_ops_subscription_feed_converges_to_live_corpus(spark, tmp_path):
+    """The FULL CDC loop: a changelog subscription delivers inserts,
+    updates and deletes; the consumer maps them to add / remove+add /
+    remove; after the stream drains and ``compact`` purges, the index
+    answers identically to a fresh build over the table's final live
+    corpus — the continuously-maintained dedup index IS the corpus."""
+    from pyspark.sql import Window
+
+    from aus_land_data_etl_spark.cdc.apply import apply_batch, create_pages_table
+    from aus_land_data_etl_spark.cdc.generator import generate_events
+    from aus_land_data_etl_spark.lake.changelog import ChangelogSubscription
+    from aus_land_data_etl_spark.lake.merge import read_current
+
+    t = create_pages_table(spark, str(tmp_path / "lake"), n_buckets=4)
+    ev = generate_events(spark, 500, seed=37).localCheckpoint(eager=True)
+
+    params = dict(PARAMS)
+    params.update(n_bands=16, id_type="string")
+    idx = NearDupIndex.create(spark, str(tmp_path / "ndi"), **params)
+    sub = ChangelogSubscription(
+        t, str(tmp_path / "cursor.json"), start_at="origin"
+    )
+
+    for e in range(4):
+        apply_batch(t, ev.filter(F.pmod(F.col("source_pos"), F.lit(4)) == e), epoch=e)
+        got = sub.poll()
+        if got is None:
+            continue
+        df, target = got
+        df = df.localCheckpoint(eager=True)
+        gone = df.filter(F.col("change_type") == "delete").select(
+            F.col("url").alias("doc_id")
+        )
+        changed = df.filter(F.col("change_type") == "update").select(
+            F.col("url").alias("doc_id")
+        )
+        stale = gone.unionAll(changed)
+        if stale.count():
+            idx.remove(stale)  # deletes + the updated docs' OLD text
+        upserts = df.filter(F.col("change_type") != "delete").select("url", "text")
+        if upserts.count():
+            idx.add(upserts, id_col="url", text_col="text")
+        sub.ack(target)
+
+    idx.compact()
+    live = read_current(t).select("url", "text")
+    fresh = NearDupIndex.build(
+        live, str(tmp_path / "fresh"), id_col="url", text_col="text", **params
+    )
+    # the purged index holds exactly the live docs...
+    assert {r["doc_id"] for r in idx.sigs().select("doc_id").collect()} == {
+        r["url"] for r in live.collect()
+    }
+    # ...and probes answer identically to a fresh build over them
+    probe = live.limit(20)
+    assert _pairs(idx.candidates_for(probe, id_col="url", text_col="text")) == _pairs(
+        fresh.candidates_for(probe, id_col="url", text_col="text")
+    )
+
+
 def test_compact_collapses_files_and_preserves_candidates(spark, tmp_path):
     """Each add appends one file per touched bucket; compact rewrites
     every bucket directory to one file without changing any probe
