@@ -409,6 +409,27 @@ class IvfIndex:
         self.id_col: str = meta["id_col"]
         self.n_cells: int = meta["n_cells"]
 
+    # -- generation counter (tombstone ordering; single-writer feeder
+    # contract, same discipline as neardup_index.NearDupIndex) ----------
+    def current_gen(self) -> int:
+        import os
+
+        try:
+            with open(os.path.join(self.root, "gen.txt")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _next_gen(self) -> int:
+        import os
+
+        g = self.current_gen() + 1
+        tmp = os.path.join(self.root, "gen.txt.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(g))
+        os.replace(tmp, os.path.join(self.root, "gen.txt"))
+        return g
+
     @staticmethod
     def _assign_cells(
         df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
@@ -444,11 +465,15 @@ class IvfIndex:
             corpus, id_col, vec_col, n_cells=n_cells, n_iters=n_iters, seed=seed
         )
         spark = corpus.sparkSession
-        indexed = cls._assign_cells(corpus, id_col, vec_col, centroids)
+        indexed = cls._assign_cells(corpus, id_col, vec_col, centroids).withColumn(
+            "gen", F.lit(1).cast("long")
+        )
         indexed.write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(root, "cells")
         )
         os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "gen.txt"), "w") as f:
+            f.write("1")
         tmp = os.path.join(root, "centroids.json.tmp")
         with open(tmp, "w") as f:
             json.dump(
@@ -483,13 +508,84 @@ class IvfIndex:
         contract: drive ``add`` from an exactly-once change feed (e.g.
         ``ChangelogSubscription`` net inserts) — a replayed ``add``
         appends duplicate rows, exactly like any blind file append.
+        Adding a previously-removed id revives it (the new generation
+        outranks the tombstone).
         """
         import os
 
-        indexed = self._assign_cells(vectors, self.id_col, vec_col, self.centroids)
+        g = self._next_gen()
+        indexed = self._assign_cells(
+            vectors, self.id_col, vec_col, self.centroids
+        ).withColumn("gen", F.lit(g).cast("long"))
         indexed.write.mode("append").partitionBy("cell").parquet(
             os.path.join(self.root, "cells")
         )
+
+    def removed(self) -> DataFrame:
+        import os
+
+        d = os.path.join(self.root, "removed")
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return self.spark.createDataFrame(
+                [], "neighbour_id long, gen long"
+            )
+        return self.spark.read.parquet(d)
+
+    def remove(self, ids) -> int:
+        """Tombstone vectors (the delete half of a CDC feed): ``search``
+        stops returning them, an ``add`` of the same id revives it, and
+        ``compact`` folds the tombstones away.  Accepts a DataFrame
+        carrying the id column or a Python list of ids."""
+        import os
+
+        g = self._next_gen()
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "neighbour_id long"
+            )
+        else:
+            ids = ids.select(F.col(self.id_col).alias("neighbour_id"))
+        ids.select("neighbour_id").distinct().withColumn(
+            "gen", F.lit(g).cast("long")
+        ).write.mode("append").parquet(os.path.join(self.root, "removed"))
+        return g
+
+    def compact(self) -> None:
+        """Purge tombstoned rows from the cell layout and clear the
+        tombstone table — after this, ``search`` answers identically to
+        a fresh ``add``-equivalent index over the live vectors and the
+        liveness join disappears from the plan.  New files are appended
+        before the superseded originals are removed (same crash posture
+        as ``NearDupIndex.compact``: a crash leaves duplicates, which
+        the top-k window dedupes by rank determinism, or redundant
+        tombstones; re-running converges)."""
+        import glob
+        import os
+        import shutil
+
+        cells_dir = os.path.join(self.root, "cells")
+        removed_dir = os.path.join(self.root, "removed")
+        if not os.path.isdir(removed_dir):
+            return  # nothing tombstoned: the layout is already live-only
+        old = glob.glob(os.path.join(cells_dir, "cell=*", "*.parquet"))
+        rgen = self.removed().groupBy("neighbour_id").agg(
+            F.max("gen").alias("rgen")
+        )
+        (
+            self.cells()
+            .join(F.broadcast(rgen), "neighbour_id", "left")
+            .filter(F.col("gen") > F.coalesce(F.col("rgen"), F.lit(-1)))
+            .drop("rgen")
+            .repartition(self.n_cells, F.col("cell"))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(cells_dir)
+        )
+        for p in old:
+            os.remove(p)
+        shutil.rmtree(removed_dir, ignore_errors=True)
 
     def search(
         self,
@@ -502,7 +598,11 @@ class IvfIndex:
 
         The probed-cell set of the whole query batch is pushed as a
         partition filter BEFORE the corpus scan — unprobed cell
-        directories are never opened."""
+        directories are never opened.  Tombstoned vectors (``remove``)
+        are liveness-filtered out; the join vanishes when no tombstones
+        exist."""
+        import os
+
         from pyspark.sql import Window
 
         probe = _probe_cells_udf(self.spark, self.centroids, nprobe)
@@ -519,6 +619,15 @@ class IvfIndex:
             r["cell"] for r in q.select("cell").distinct().collect()
         )
         c = self.cells().filter(F.col("cell").isin(probed))
+        if os.path.isdir(os.path.join(self.root, "removed")):
+            rgen = self.removed().groupBy("neighbour_id").agg(
+                F.max("gen").alias("rgen")
+            )
+            c = (
+                c.join(F.broadcast(rgen), "neighbour_id", "left")
+                .filter(F.col("gen") > F.coalesce(F.col("rgen"), F.lit(-1)))
+                .drop("rgen")
+            )
         scored = (
             c.join(F.broadcast(q), "cell")
             .filter(F.col("query_id") != F.col("neighbour_id"))

@@ -480,3 +480,50 @@ def test_ivf_index_incremental_add(spark, tmp_path):
         if not e.startswith("_") and not e.startswith(".")
     )
     assert all(e.startswith("cell=") for e in tops), tops
+
+
+def test_ivf_index_remove_revive_and_purge(spark, tmp_path):
+    """Delete semantics on the persisted IVF index: removed vectors
+    leave the top-k (full-probe search equals brute force over the LIVE
+    corpus), re-adding the id revives it, and compact physically purges
+    so the tombstone join disappears while answers stay identical."""
+    import os
+
+    from aus_land_data_etl_spark.operators.similarity import (
+        IvfIndex,
+        cosine_topk_bruteforce,
+    )
+
+    df = _clustered_vectors(spark)
+    q = df.filter(F.col("vec_id") < 5)
+    cols = ["query_id", "neighbour_id", "rank", "cosine_sim"]
+
+    root = str(tmp_path / "ivf")
+    idx = IvfIndex.build(df, root, n_cells=6, seed=42)
+
+    def got():
+        return sorted(map(tuple, idx.search(q, k=3, nprobe=6).select(*cols).collect()))
+
+    def exact(corpus):
+        return sorted(
+            map(tuple, cosine_topk_bruteforce(corpus, q, k=3).select(*cols).collect())
+        )
+
+    before = got()
+    assert before == exact(df)
+
+    # remove query 0's top neighbour: it must vanish, next-best promotes
+    victim = next(n for qq, n, r, s in before if qq == 0 and r == 1)
+    idx.remove([victim])
+    live = df.filter(F.col("vec_id") != victim)
+    assert got() == exact(live)
+
+    # revive with the same vector: original answers return
+    idx.add(df.filter(F.col("vec_id") == victim))
+    assert got() == before
+
+    # remove again + compact: purged layout, no tombstone table, same answers
+    idx.remove([victim])
+    idx.compact()
+    assert not os.path.isdir(os.path.join(root, "removed"))
+    assert got() == exact(live)
