@@ -5,8 +5,12 @@ reference ETL pipeline (AKST/Aus-Land-Data-ETL), re-expressed Spark-first:
 
 - ``lake``       — snapshot-committed bucketed-parquet tables with atomic
                    commits, per-epoch manifests and bucket-pruned
-                   copy-on-write MERGE (Iceberg-style semantics; swap in
-                   real Iceberg on a cluster with the jars present).
+                   copy-on-write MERGE, plus the Iceberg-shaped ops
+                   surface: time travel by version or tag, named tags as
+                   retention roots, metadata-only rollback that restores
+                   the exactly-once state, and write-audit-publish
+                   branches (Iceberg-style semantics; swap in real
+                   Iceberg on a cluster with the jars present).
 - ``cdc``        — change-event model, deterministic synthetic generator,
                    schema-version registry, two-level salted LWW dedupe and
                    the idempotent merge-apply pipeline.
